@@ -1,0 +1,106 @@
+"""ROIAlign vs a direct NumPy oracle implementing the reference CUDA
+kernel's algorithm (csrc/cuda/ROIAlign_cuda.cu) exactly but slowly."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from veto_tpu.ops.roi_align import fpn_level_assignment, multilevel_roi_align, roi_align
+
+
+def _oracle(feat_hwc, rois, scale, p, s):
+    h, w, c = feat_hwc.shape
+
+    def bilinear(y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return np.zeros(c)
+        y, x = max(y, 0.0), max(x, 0.0)
+        yl, xl = int(np.floor(y)), int(np.floor(x))
+        if yl >= h - 1:
+            yl = yh = h - 1
+            y = float(yl)
+        else:
+            yh = yl + 1
+        if xl >= w - 1:
+            xl = xh = w - 1
+            x = float(xl)
+        else:
+            xh = xl + 1
+        ly, lx = y - yl, x - xl
+        hy, hx = 1 - ly, 1 - lx
+        return (
+            hy * hx * feat_hwc[yl, xl]
+            + hy * lx * feat_hwc[yl, xh]
+            + ly * hx * feat_hwc[yh, xl]
+            + ly * lx * feat_hwc[yh, xh]
+        )
+
+    out = np.zeros((len(rois), p, p, c))
+    for r, roi in enumerate(rois):
+        x1, y1, x2, y2 = roi * scale
+        rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        bw, bh = rw / p, rh / p
+        for py in range(p):
+            for px in range(p):
+                acc = np.zeros(c)
+                for iy in range(s):
+                    for ix in range(s):
+                        yy = y1 + py * bh + (iy + 0.5) * bh / s
+                        xx = x1 + px * bw + (ix + 0.5) * bw / s
+                        acc += bilinear(yy, xx)
+                out[r, py, px] = acc / (s * s)
+    return out
+
+
+def test_roi_align_matches_oracle(rng):
+    feat = rng.randn(16, 24, 3).astype(np.float32)
+    rois = np.array(
+        [
+            [0.0, 0.0, 40.0, 30.0],
+            [8.0, 4.0, 60.0, 50.0],
+            [5.0, 5.0, 5.0, 5.0],  # degenerate
+            [70.0, 50.0, 95.0, 63.0],  # partially outside after scaling
+        ],
+        dtype=np.float32,
+    )
+    scale = 0.25
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), scale, 4, 2))
+    want = _oracle(feat, rois, scale, 4, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_is_differentiable():
+    import jax
+
+    feat = jnp.ones((8, 8, 2))
+    rois = jnp.array([[0.0, 0.0, 16.0, 16.0]])
+
+    def f(x):
+        return roi_align(x, rois, 0.5, 2, 2).sum()
+
+    g = jax.grad(f)(feat)
+    assert g.shape == feat.shape
+    assert np.asarray(g).sum() > 0
+
+
+def test_fpn_level_assignment():
+    # FPN eq.1: sqrt(area)=224 -> level 4 -> index 2 (k_min=2)
+    rois = jnp.array(
+        [
+            [0.0, 0.0, 223.0, 223.0],  # 224x224 -> lvl 4
+            [0.0, 0.0, 31.0, 31.0],  # small -> clamped to lvl 2
+            [0.0, 0.0, 1000.0, 1000.0],  # big -> clamped to lvl 5
+        ]
+    )
+    np.testing.assert_array_equal(fpn_level_assignment(rois), [2, 0, 3])
+
+
+def test_multilevel_select(rng):
+    feats = [rng.randn(32 // (2**i), 32 // (2**i), 4).astype(np.float32) for i in range(4)]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    rois = np.array([[0.0, 0.0, 31.0, 31.0], [0.0, 0.0, 900.0, 900.0]], np.float32)
+    out = multilevel_roi_align([jnp.asarray(f) for f in feats], jnp.asarray(rois), scales, 4)
+    # roi 0 assigned level 0, roi 1 level 3: outputs equal single-level pooling
+    lvl0 = roi_align(jnp.asarray(feats[0]), jnp.asarray(rois[:1]), scales[0], 4)
+    lvl3 = roi_align(jnp.asarray(feats[3]), jnp.asarray(rois[1:]), scales[3], 4)
+    np.testing.assert_allclose(out[0], lvl0[0], rtol=1e-5)
+    np.testing.assert_allclose(out[1], lvl3[0], rtol=1e-5)
