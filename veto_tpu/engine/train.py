@@ -1,0 +1,228 @@
+"""Jitted train/eval steps with SPMD sharding.
+
+Replaces the reference's training loop internals (tools/relation_train_net.py
+:418-565) and DDP gradient all-reduce (:372-380): here the whole step —
+pair sampling, forward, loss, backward, optimizer — is ONE jitted SPMD
+program over a `jax.sharding.Mesh`.  Gradients are reduced by XLA-inserted
+collectives over ICI instead of NCCL all-reduce; losses come back as
+replicated scalars, replacing reduce_loss_dict (engine/trainer.py:8-30).
+
+Mesh axes:
+  * ``data``  — batch-parallel (the reference's only parallelism).
+  * ``pair``  — the relation-pair axis, sharded like a batch axis: each
+    image's P sampled pairs split across chips, with the small per-proposal
+    feature tensors replicated (SURVEY.md §5 "pair-parallel").  This is the
+    framework's sequence-parallel analog; it lets a single image's 2048+
+    sgdet pairs span chips.
+
+Pair sampling (random) runs in-graph with a fold-in PRNG so the step stays
+pure and reproducible (reference fixed SEED=1, relation_train_net.py:44-50).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from veto_tpu.models.relation.postprocess import postprocess_relations
+from veto_tpu.models.relation.predictor_veto import weighted_ce_loss
+from veto_tpu.models.relation.sampling import gtbox_relsample, prepare_test_pairs
+
+from .batch import SGGBatch
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_train_state(model, tx, rng, sample_batch: SGGBatch) -> TrainState:
+    """Initialize parameters from a (tiny) sample batch."""
+    b, n = sample_batch.boxes.shape[:2]
+    pair_idx = jnp.zeros((b, 8, 2), jnp.int32)
+    pair_mask = jnp.ones((b, 8), bool)
+    variables = model.init(
+        rng,
+        sample_batch.images,
+        sample_batch.depth,
+        sample_batch.boxes,
+        sample_batch.box_mask,
+        sample_batch.labels,
+        sample_batch.obj_logits,
+        pair_idx,
+        pair_mask,
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=rng,
+    )
+
+
+def make_train_step(
+    model,
+    tx,
+    rel_class_weights: Optional[np.ndarray],
+    batch_size_per_image: int = 1024,
+    positive_fraction: float = 0.25,
+    mode: str = "predcls",
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, SGGBatch, jnp.ndarray], tuple]:
+    """Build the jitted train step: (state, batch, lr_scale) → (state, metrics)."""
+    cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
+
+    def constrain_pairs(tree):
+        """Shard the sampled-pair axis over mesh axis 'pair' (SURVEY.md §5)."""
+        if mesh is None or "pair" not in mesh.axis_names:
+            return tree
+        sh = NamedSharding(mesh, P("data", "pair"))
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, sh)
+            if x.ndim >= 2 and x.shape[:2] == tree.mask.shape[:2]
+            else x,
+            tree,
+        )
+
+    def train_step(state: TrainState, batch: SGGBatch, lr_scale: jnp.ndarray):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        sample_keys = jax.random.split(step_rng, batch.batch_size)
+        samples = jax.vmap(
+            lambda k, rel, m: gtbox_relsample(
+                k, rel, m, batch_size=batch_size_per_image,
+                positive_fraction=positive_fraction,
+            )
+        )(sample_keys, batch.rel_matrix, batch.box_mask)
+        samples = constrain_pairs(samples)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.images,
+                batch.depth,
+                batch.boxes,
+                batch.box_mask,
+                batch.labels,
+                batch.obj_logits,
+                samples.pair_idx,
+                samples.mask,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            rel_loss = weighted_ce_loss(
+                out.rel_logits, samples.labels, samples.mask, cw
+            )
+            losses = {"rel_loss": rel_loss}
+            if mode != "predcls":
+                obj_loss = weighted_ce_loss(
+                    out.obj_dists, batch.labels, batch.box_mask, None
+                )
+                losses["obj_loss"] = obj_loss
+            total = sum(losses.values())
+            return total, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["lr_scale"] = lr_scale.astype(jnp.float32)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls"):
+    """Build the jitted eval step: (state, batch) → per-image RelPrediction.
+
+    Pairs are the full candidate set (prepare_test_pairs); the result arrays
+    stay padded/masked so a single compile serves every image.
+    """
+
+    def eval_step(state: TrainState, batch: SGGBatch):
+        scores = jnp.where(batch.box_mask, 1.0, 0.0)
+        pair_idx, pair_mask = jax.vmap(
+            lambda m, s, bx: prepare_test_pairs(m, s, bx, max_pairs=max_pairs)
+        )(batch.box_mask, scores, batch.boxes)
+
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.images,
+            batch.depth,
+            batch.boxes,
+            batch.box_mask,
+            batch.labels,
+            batch.obj_logits,
+            pair_idx,
+            pair_mask,
+            train=False,
+        )
+        return jax.vmap(postprocess_relations)(
+            out.rel_logits, out.obj_dists, pair_idx, pair_mask
+        )
+
+    return eval_step
+
+
+# ----------------------------------------------------------------------
+# sharding
+# ----------------------------------------------------------------------
+def make_mesh(data: int = 1, pair: int = 1) -> Mesh:
+    devices = np.array(jax.devices()[: data * pair]).reshape(data, pair)
+    return Mesh(devices, axis_names=("data", "pair"))
+
+
+def batch_sharding(mesh: Mesh) -> SGGBatch:
+    """NamedShardings placing the batch on the data axis."""
+    s = lambda *axes: NamedSharding(mesh, P(*axes))  # noqa: E731
+    return SGGBatch(
+        images=s("data"),
+        depth=s("data"),
+        boxes=s("data"),
+        box_mask=s("data"),
+        labels=s("data"),
+        obj_logits=s("data"),
+        rel_matrix=s("data"),
+        sizes=s("data"),
+    )
+
+
+def shard_train_step(train_step, mesh: Mesh):
+    """jit the step with batch sharded over ('data',) and state replicated.
+
+    The pair axis is introduced inside the step via sharding constraints on
+    the sampled pair tensors (see constrain_pairs), letting XLA split the
+    relation transformer's (B*P, 19, D) workload across the 'pair' axis.
+    """
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        in_shardings=(None, batch_sharding(mesh), repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,157 @@
+"""ResNet / ResNeXt body with frozen BatchNorm, NHWC, flax.linen.
+
+TPU re-design of the reference backbone (pysgg/modeling/backbone/resnet.py:
+ResNet:87, Bottleneck:252, FrozenBatchNorm variants :382-412).  Differences
+that are deliberate:
+
+  * NHWC layout (TPU-native; the reference is NCHW).
+  * FrozenBatchNorm is folded to a per-channel (scale, bias) affine — the
+    detector is entirely frozen during relation training
+    (tools/relation_train_net.py:161-165), so running stats never update and
+    the fold is exact.  The torch→jax weight importer performs the fold.
+  * compute in a configurable dtype (bf16 by default), params in f32.
+
+Architecture parity (maskrcnn-benchmark R-101-FPN 32x8d):
+  stem: 7x7/2 conv 64ch + FrozenBN + ReLU + 3x3/2 maxpool
+  stages: bottleneck counts (3, 4, 23, 3), out channels (256, 512, 1024,
+  2048), grouped 3x3 convs (groups=32, width_per_group=8 → bottleneck
+  channels 256/512/1024/2048), stride-in-1x1 (caffe convention,
+  defaults.py STRIDE_IN_1X1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """Per-channel affine y = x * scale + bias.
+
+    Exact fold of inference-mode BatchNorm:
+      scale = gamma / sqrt(running_var + eps),  bias = beta - mean * scale
+    (reference pysgg/layers/batch_norm.py FrozenBatchNorm2d).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1 → grouped 3x3 → 1x1 bottleneck (resnet.py Bottleneck:252)."""
+
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    groups: int = 1
+    stride_in_1x1: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+
+        shortcut = x
+        if in_channels != self.out_channels or self.stride != 1:
+            shortcut = nn.Conv(
+                self.out_channels, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            shortcut = FrozenBatchNorm(self.out_channels, self.dtype, name="downsample_bn")(shortcut)
+
+        y = nn.Conv(
+            self.bottleneck_channels, (1, 1), strides=(s1, s1),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.bottleneck_channels, (3, 3), strides=(s3, s3), padding=1,
+            feature_group_count=self.groups, use_bias=False, dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = FrozenBatchNorm(self.out_channels, self.dtype, name="bn3")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNetBody(nn.Module):
+    """Stem + residual stages; returns feature maps C2..C5 (NHWC).
+
+    Defaults are ResNeXt-101 32x8d as shipped in configs/VETO_final.yaml
+    (CONV_BODY R-101-FPN + NUM_GROUPS 32, WIDTH_PER_GROUP 8).
+    Plain R-50/R-101 via groups=1, width_per_group=64.
+    """
+
+    stage_blocks: Sequence[int] = (3, 4, 23, 3)
+    groups: int = 32
+    width_per_group: int = 8
+    stride_in_1x1: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        x = x.astype(self.dtype)
+        # --- stem (resnet.py BaseStem)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = FrozenBatchNorm(64, self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        bottleneck = self.groups * self.width_per_group  # 256 for 32x8d
+        out_channels = 256
+        for stage_idx, num_blocks in enumerate(self.stage_blocks):
+            for block_idx in range(num_blocks):
+                stride = 2 if (block_idx == 0 and stage_idx > 0) else 1
+                x = Bottleneck(
+                    bottleneck_channels=bottleneck,
+                    out_channels=out_channels,
+                    stride=stride,
+                    groups=self.groups,
+                    stride_in_1x1=self.stride_in_1x1,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_block{block_idx}",
+                )(x)
+            outs.append(x)
+            bottleneck *= 2
+            out_channels *= 2
+        return tuple(outs)
+
+
+class ResNetFPNBackbone(nn.Module):
+    """ResNet body + FPN → (P2, P3, P4, P5, P6), each `fpn_channels` wide.
+
+    Reference build_resnet_fpn_backbone (backbone.py:33-55).
+    """
+
+    stage_blocks: Sequence[int] = (3, 4, 23, 3)
+    groups: int = 32
+    width_per_group: int = 8
+    fpn_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        from .fpn import FPN
+
+        body_outs = ResNetBody(
+            stage_blocks=self.stage_blocks,
+            groups=self.groups,
+            width_per_group=self.width_per_group,
+            dtype=self.dtype,
+            name="body",
+        )(x)
+        return FPN(out_channels=self.fpn_channels, dtype=self.dtype, name="fpn")(body_outs)

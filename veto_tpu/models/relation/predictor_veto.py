@@ -1,0 +1,260 @@
+"""The VETO relation predictor.
+
+Re-design of the reference VETOPredictor
+(pysgg/.../roi_relation_predictors.py:3997-4139): per-proposal embeddings
+(GloVe class embedding, BatchNorm'd center-xywh position embedding), pairwise
+feature assembly (location/class/visual/depth), the VETO fusion transformer,
+and the final 51-way relation classifier with the Rwt beta-reweighted CE
+loss (:4057-4070).
+
+TPU-first redesign — the "pair-factorized projection" trick
+-----------------------------------------------------------
+The reference gathers, for every one of ~1-2k pairs per image, the full
+concatenated subject+object 8x8x512 visual and depth maps and pushes them
+through the patch projection (roi_relation_predictors.py:4118-4123 →
+model_veto.py:99-115).  Every projection involved is *linear in the
+concatenation*, so W @ concat(s, o) = W_s @ s + W_o @ o: we instead project
+each PROPOSAL's 16 patch vectors once (N≈80 per image instead of P≈2048
+pairs, a >25x reduction in matmul traffic), and build each pair token by
+summing the subject-half and object-half projections.  The same refactor
+applies to the location token (Linear(256→576) split into two 128→576) and
+the class token (Linear(400→576) into two 200→576).  Mathematically
+identical, dramatically lighter on HBM: the (P, 8, 8, 512) pair tensors are
+never materialized.
+
+All shapes are static: (B, N) proposals, (B, P) pairs, padding masked.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from veto_tpu.ops.box_ops import center_xywh, xyxy_to_xywh
+
+from .veto_transformer import VetoTransformer
+
+
+def beta_class_weights(pred_counts: np.ndarray, beta: float = 0.999) -> np.ndarray:
+    """Rwt class-balanced weights (roi_relation_predictors.py:4057-4070).
+
+    (1 - beta) / (1 - beta^count) per predicate class, normalized to sum to
+    num_classes.  ``pred_counts`` must include the background count at index
+    0 (the reference sorts its pickle descending, which puts the huge bg
+    count first — frequency-reordered vocabularies are already descending).
+    """
+    counts = np.sort(np.asarray(pred_counts, dtype=np.float64))[::-1]
+    w = (1.0 - beta) / (1.0 - np.power(beta, counts))
+    w *= float(len(w)) / w.sum()
+    return w.astype(np.float32)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid proposals only (reference pos_embed BN(4)).
+
+    torch momentum 0.001 ⇒ running = 0.999*running + 0.001*batch.
+    Padding rows are excluded from the batch statistics.
+    """
+
+    features: int
+    momentum: float = 0.001
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,)))
+
+        if train:
+            m = mask.reshape(-1).astype(jnp.float32)
+            flat = x.reshape(-1, self.features).astype(jnp.float32)
+            cnt = jnp.maximum(m.sum(), 1.0)
+            mean = (flat * m[:, None]).sum(0) / cnt
+            var = (jnp.square(flat - mean) * m[:, None]).sum(0) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class VetoPredictorOutput(NamedTuple):
+    rel_logits: jnp.ndarray          # (B, P, num_rel)
+    obj_dists: jnp.ndarray           # (B, N, num_obj) one-hot or refined logits
+
+
+class VetoPredictor(nn.Module):
+    """Relation logits from proposals + pooled 8x8 visual/depth maps."""
+
+    num_obj_classes: int = 151
+    num_rel_classes: int = 51
+    embed_dim: int = 200
+    dim: int = 576
+    layers: int = 6
+    heads: int = 6
+    patch_size: int = 2
+    depth_proj_dim: int = 512
+    visual_proj_dim: int = 64
+    mode: str = "predcls"  # predcls | sgcls | sgdet
+    dtype: Any = jnp.float32
+    remat: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        boxes: jnp.ndarray,        # (B, N, 4) xyxy
+        box_mask: jnp.ndarray,     # (B, N) bool
+        obj_labels: jnp.ndarray,   # (B, N) int — GT labels (predcls) or pred labels
+        obj_logits: jnp.ndarray,   # (B, N, num_obj) detector logits (sgcls/sgdet)
+        pair_idx: jnp.ndarray,     # (B, P, 2) int
+        pair_mask: jnp.ndarray,    # (B, P) bool
+        roi_features: jnp.ndarray,   # (B, N, 8, 8, C) pooled RGB maps
+        depth_features: jnp.ndarray,  # (B, N, 8, 8, C) pooled depth maps
+        train: bool = False,
+    ) -> VetoPredictorOutput:
+        b, n = boxes.shape[:2]
+        p = pair_idx.shape[1]
+        cdt = self.dtype
+
+        # ---- per-proposal class embedding (:4086-4100)
+        embed_tbl = nn.Embed(self.num_obj_classes, self.embed_dim,
+                             dtype=cdt, name="obj_embed")
+        if self.mode == "predcls":
+            obj_embed = embed_tbl(obj_labels)
+            obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes, dtype=jnp.float32)
+        else:
+            probs = jax.nn.softmax(obj_logits.astype(jnp.float32), axis=-1)
+            obj_embed = (probs.astype(cdt) @ embed_tbl.embedding.astype(cdt))
+            obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes, dtype=jnp.float32)
+
+        # ---- per-proposal position embedding (:4042-4047, :4102)
+        cxywh = center_xywh(xyxy_to_xywh(boxes)).astype(cdt)
+        pos = MaskedBatchNorm(4, dtype=cdt, name="pos_bn")(cxywh, box_mask, train)
+        pos = nn.relu(nn.Dense(128, dtype=cdt, name="pos_fc")(pos))  # (B, N, 128)
+
+        # ---- pair-factorized token projections (see module docstring)
+        loc_s = nn.Dense(self.dim, use_bias=False, dtype=cdt, name="loc_proj_subj")(pos)
+        loc_o = nn.Dense(self.dim, use_bias=False, dtype=cdt, name="loc_proj_obj")(pos)
+        loc_bias = self.param("loc_proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        cls_s = nn.Dense(self.dim, use_bias=False, dtype=cdt, name="class_proj_subj")(obj_embed)
+        cls_o = nn.Dense(self.dim, use_bias=False, dtype=cdt, name="class_proj_obj")(obj_embed)
+        cls_bias = self.param("class_proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+
+        # patch tokens: (B, N, 16, patch_dim) per proposal, subject/object halves
+        def patchify(x):
+            bb, nn_, h, w, c = x.shape
+            ps = self.patch_size
+            x = x.reshape(bb, nn_, h // ps, ps, w // ps, ps, c)
+            x = jnp.moveaxis(x, 3, 4)
+            return x.reshape(bb, nn_, (h // ps) * (w // ps), ps * ps * c)
+
+        vis_patches = patchify(roi_features.astype(cdt))
+        dep_patches = patchify(depth_features.astype(cdt))
+        d_s = nn.Dense(self.depth_proj_dim, use_bias=False, dtype=cdt, name="proj_d_subj")(dep_patches)
+        d_o = nn.Dense(self.depth_proj_dim, use_bias=False, dtype=cdt, name="proj_d_obj")(dep_patches)
+        d_bias = self.param("proj_d_bias", nn.initializers.zeros, (self.depth_proj_dim,), jnp.float32)
+        v_s = nn.Dense(self.visual_proj_dim, use_bias=False, dtype=cdt, name="proj_v_subj")(vis_patches)
+        v_o = nn.Dense(self.visual_proj_dim, use_bias=False, dtype=cdt, name="proj_v_obj")(vis_patches)
+        v_bias = self.param("proj_v_bias", nn.initializers.zeros, (self.visual_proj_dim,), jnp.float32)
+
+        si = pair_idx[..., 0]  # (B, P)
+        oi = pair_idx[..., 1]
+
+        def g(x, idx):
+            return jnp.take_along_axis(
+                x, idx.reshape(b, p, *(1,) * (x.ndim - 2)).astype(jnp.int32), axis=1
+            )
+
+        loc_tok = nn.relu(g(loc_s, si) + g(loc_o, oi) + loc_bias.astype(cdt))
+        cls_tok = nn.relu(g(cls_s, si) + g(cls_o, oi) + cls_bias.astype(cdt))
+        patch_tok = jnp.concatenate(
+            [
+                g(d_s, si) + g(d_o, oi) + d_bias.astype(cdt),
+                g(v_s, si) + g(v_o, oi) + v_bias.astype(cdt),
+            ],
+            axis=-1,
+        )  # (B, P, 16, 576)
+
+        # ---- fusion transformer over 19 tokens (model_veto.py:52-64,18-26)
+        enc_cls = nn.remat(VetoEncoder) if self.remat else VetoEncoder
+        encoder = enc_cls(
+            dim=self.dim, layers=self.layers, heads=self.heads, dtype=cdt,
+            name="fusion_transformer",
+        )
+        flat_cls = encoder(
+            patch_tok.reshape(b * p, -1, self.dim),
+            loc_tok.reshape(b * p, self.dim),
+            cls_tok.reshape(b * p, self.dim),
+        )
+        rel_feat = flat_cls.reshape(b, p, self.dim)
+        rel_logits = nn.Dense(
+            self.num_rel_classes, dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(), name="rel_out",
+        )(rel_feat)
+        return VetoPredictorOutput(rel_logits=rel_logits, obj_dists=obj_dists)
+
+
+class VetoEncoder(nn.Module):
+    """CLS + tokens + shared pos embedding + 6 PreNorm encoder layers.
+
+    Split out from :class:`VetoTransformer` so the predictor can feed
+    already-projected patch tokens (the pair-factorized path).
+    """
+
+    dim: int = 576
+    layers: int = 6
+    heads: int = 6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, patch_tokens, loc_token, cls_token):
+        from .veto_transformer import _FeedForward, _SelfAttention
+
+        cls0 = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, self.dim), jnp.float32)
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0), (1, 1, self.dim), jnp.float32)
+        n = patch_tokens.shape[0]
+        x = jnp.concatenate(
+            [
+                jnp.broadcast_to(cls0.astype(self.dtype), (n, 1, self.dim)),
+                patch_tokens,
+                loc_token[:, None, :],
+                cls_token[:, None, :],
+            ],
+            axis=1,
+        )
+        x = x + pos.astype(self.dtype)
+        for i in range(self.layers):
+            y = nn.LayerNorm(dtype=self.dtype, name=f"attn_norm{i}")(x)
+            x = _SelfAttention(self.dim, self.heads, dtype=self.dtype, name=f"attn{i}")(y) + x
+            y = nn.LayerNorm(dtype=self.dtype, name=f"ffn_norm{i}")(x)
+            x = _FeedForward(self.dim, self.dim * 2, dtype=self.dtype, name=f"ffn{i}")(y) + x
+        return x[:, 0]
+
+
+def weighted_ce_loss(
+    logits: jnp.ndarray,      # (..., C) float32
+    labels: jnp.ndarray,      # (...,) int, -1 = padding
+    mask: jnp.ndarray,        # (...,) bool
+    class_weights: Optional[jnp.ndarray] = None,  # (C,)
+) -> jnp.ndarray:
+    """Mean weighted cross-entropy over valid entries.
+
+    Matches torch nn.CrossEntropyLoss(weight=w): sum(w_y * nll) / sum(w_y).
+    """
+    safe_labels = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if class_weights is None:
+        w = mask.astype(jnp.float32)
+    else:
+        w = jnp.where(mask, class_weights[safe_labels], 0.0)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1e-6)
