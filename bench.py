@@ -1,0 +1,87 @@
+"""Throughput benchmark: VETO PredCls training images/sec on one chip.
+
+Runs the flagship configuration (ResNeXt-101-FPN 32x8d backbone + depth R18
++ VETO relation transformer, bf16 compute, 1024 sampled pairs/image — the
+shipped configs/VETO_final.yaml working set) on synthetic data and measures
+sustained TRAIN-step throughput on whatever single device is available.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); its
+README-era setup is one 2080Ti-class GPU at batch 12 over 125k iterations —
+several days end-to-end, i.e. ~8-10 images/sec. We pin the baseline at
+10 img/s so `vs_baseline` is a conservative speedup estimate; the north-star
+target is >=5x on a v5e-8 (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMG_PER_SEC = 10.0
+
+BATCH = 4
+IMAGE_HW = (512, 512)
+MAX_BOXES = 40
+PAIRS = 512
+STEPS_WARMUP = 2
+STEPS_MEASURE = 8
+
+
+def main():
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import create_train_state, make_train_step
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(dtype=jnp.bfloat16)  # full-size flagship
+    ds = SyntheticSGGDataset(
+        num_images=BATCH, image_size=IMAGE_HW, max_objects=MAX_BOXES - 1,
+        min_objects=8, max_relations=20, seed=0,
+    )
+    batch, _ = next(ds.batches(batch_size=BATCH, max_boxes=MAX_BOXES))
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    scfg = SolverConfig()
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batch)
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    params = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
+        train=False,
+    )["params"]
+    tx = make_optimizer(scfg, params)
+    state = create_train_state(model, tx, rng, small)
+
+    step = jax.jit(
+        make_train_step(model, tx, None, batch_size_per_image=PAIRS),
+        donate_argnums=(0,),
+    )
+    scale = jnp.asarray(1.0, jnp.float32)
+
+    for _ in range(STEPS_WARMUP):
+        state, metrics = step(state, batch, scale)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS_MEASURE):
+        state, metrics = step(state, batch, scale)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * STEPS_MEASURE / dt
+    print(json.dumps({
+        "metric": "vg_predcls_train_images_per_sec",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,10 @@ def gtbox_relsample(
 
     valid = box_mask[ii] & box_mask[jj] & (ii != jj)
     fg = valid & (flat_rel > 0)
-    bg = valid & (flat_rel == 0)
+    # label -1 = resampling-dropped relation (bi_lvl_rsmp.py apply_resampling)
+    # — a background candidate in the reference (rel_possibility only zeroes
+    # pairs with label > 0)
+    bg = valid & (flat_rel <= 0)
 
     r_fg, r_bg = jax.random.uniform(rng, (2, n * n))
     # random rank of each pair within its pool (non-members rank last)
@@ -77,7 +80,7 @@ def gtbox_relsample(
     )
     order = jnp.argsort(sel_key)[:batch_size]
     mask = (chosen_fg | chosen_bg)[order]
-    labels = jnp.where(mask, flat_rel[order], -1)
+    labels = jnp.where(mask, jnp.maximum(flat_rel[order], 0), -1)
     pair_idx = jnp.stack([ii[order], jj[order]], axis=-1)
     # padding entries point at box 0 to keep gathers in range
     pair_idx = jnp.where(mask[:, None], pair_idx, 0)
