@@ -1,0 +1,85 @@
+"""Relation evaluation entry point (reference tools/relation_test_net.py:27-119).
+
+Loads the latest checkpoint from ``output_dir`` and evaluates the test
+split, printing the full R@K / mR@K / ngR@K / zR@K / A@K report and writing
+``eval_results.json`` (the reference's result_dict.pytorch analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser(description="VETO-TPU relation evaluation")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--split", default="test", choices=["val", "test"])
+    parser.add_argument("opts", nargs="*", default=[])
+    args = parser.parse_args()
+
+    from relation_train_net import batches_for, build_dataset, build_model
+
+    from veto_tpu.config import load_config
+    from veto_tpu.engine.train import create_train_state, make_eval_step
+    from veto_tpu.evaluation.sgg_eval import SGGEvaluator
+    from veto_tpu.solver.optim import make_optimizer
+    from veto_tpu.utils.checkpoint import CheckpointManager
+    from veto_tpu.utils.logger import setup_logger
+
+    cfg = load_config(args.config, args.opts)
+    logger = setup_logger("veto_tpu.test", cfg.output_dir)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, args.split)
+    gen = batches_for(cfg, ds, args.split)
+
+    rng = jax.random.PRNGKey(cfg.solver.seed)
+    batch, _ = next(gen(max_iter=1))
+    small = jax.tree.map(lambda x: jnp.asarray(x[:1]), batch)
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    params = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
+        train=False,
+    )["params"]
+    tx = make_optimizer(cfg.solver, params)
+    state = create_train_state(model, tx, rng, small)
+    ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
+    state, _ = ckpt.restore(state)
+    logger.info(f"evaluating checkpoint @ step {int(state.step)}")
+
+    eval_step = jax.jit(make_eval_step(model, max_pairs=cfg.relation.max_proposal_pairs))
+    evaluator = SGGEvaluator(
+        mode=cfg.relation.mode, num_rel_classes=cfg.relation.num_classes
+    )
+    for batch, recs in gen(max_iter=0):
+        preds = jax.device_get(eval_step(state, jax.tree.map(jnp.asarray, batch)))
+        for i, rec in enumerate(recs):
+            n = len(rec["boxes"])
+            pm = preds.pair_mask[i]
+            evaluator.add_image(
+                rec["boxes"], rec["labels"], rec["rel_tuples"], rec["boxes"],
+                preds.obj_labels[i][:n], preds.obj_scores[i][:n],
+                preds.pair_idx[i][pm], preds.rel_scores[i][pm],
+            )
+    logger.info("\n" + evaluator.summary_string())
+    agg = evaluator.aggregate()
+    out = {
+        metric: {str(k): v for k, v in vals.items()}
+        for metric, vals in agg.items()
+        if metric != "mR_per_class"
+    }
+    with open(os.path.join(cfg.output_dir, "eval_results.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    logger.info(f"wrote {cfg.output_dir}/eval_results.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Relation training entry point.
+
+The TPU rebuild of tools/relation_train_net.py (reference :124-785): config
+merge → data → model → optimizer → jitted SPMD train loop with validation-
+driven plateau LR, checkpointing, and metric logging.
+
+Differences by design:
+  * one process per host, all local chips via a `jax.sharding.Mesh`
+    (reference: one process per GPU + NCCL DDP).
+  * the train step (sampling, forward, loss, backward, update) is a single
+    jitted program; losses come back as replicated scalars.
+  * dataset defaults to the deterministic synthetic corpus when
+    ``data.data_dir`` is empty so the tool runs hermetically.
+
+Usage:
+  python tools/relation_train_net.py --config configs/veto_vg_predcls.yaml \
+      solver.max_iter=100 data.data_dir=/path/to/vg
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_dataset(cfg, split: str):
+    if not cfg.data.data_dir:
+        from veto_tpu.data.synthetic import SyntheticSGGDataset
+
+        return SyntheticSGGDataset(
+            num_images=64 if split == "train" else 16,
+            image_size=(256, 256),
+            num_obj_classes=cfg.model.num_obj_classes,
+            num_rel_classes=cfg.relation.num_classes,
+            max_objects=min(cfg.data.max_boxes, 16) - 1,
+            seed=cfg.solver.seed + (0 if split == "train" else 7),
+        )
+    from veto_tpu.data.visual_genome import VGDataset
+
+    d = cfg.data.data_dir
+    return VGDataset(
+        split,
+        roidb_file=os.path.join(d, "VG-SGG-with-attri.h5"),
+        dict_file=os.path.join(d, "VG-SGG-dicts-with-attri.json"),
+        image_file=os.path.join(d, "image_data.json"),
+        img_dir=os.path.join(d, "VG_100K"),
+        depth_img_dir=os.path.join(d, "VG_100K_depth") if cfg.data.use_depth else None,
+        num_val_im=cfg.data.num_val_images,
+        filter_duplicate_rels=cfg.data.filter_duplicate_relations,
+        filter_non_overlap=cfg.data.filter_non_overlap,
+        reorder_freq_based=cfg.data.reorder_freq_based,
+        resampling=(
+            {"repeat_factor": cfg.data.repeat_factor,
+             "instance_drop_rate": cfg.data.instance_drop_rate}
+            if cfg.data.resampling and split == "train" else None
+        ),
+        seed=cfg.solver.seed,
+    )
+
+
+def batches_for(cfg, dataset, split: str):
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+
+    if isinstance(dataset, SyntheticSGGDataset):
+        bsz = cfg.solver.ims_per_batch if split == "train" else cfg.test.ims_per_batch
+
+        def gen(max_iter, start_iter=0):
+            if split != "train":  # eval: one pass regardless of max_iter
+                yield from dataset.batches(bsz, cfg.data.max_boxes)
+                return
+            it = start_iter
+            while it < max_iter:
+                for batch, recs in dataset.batches(bsz, cfg.data.max_boxes):
+                    yield batch, recs
+                    it += 1
+                    if it >= max_iter:
+                        return
+        return gen
+    from veto_tpu.data.loader import SGGLoader
+
+    loader = SGGLoader(
+        dataset,
+        batch_size=cfg.solver.ims_per_batch if split == "train" else cfg.test.ims_per_batch,
+        max_boxes=cfg.data.max_boxes,
+        num_obj_classes=cfg.model.num_obj_classes,
+        min_size=cfg.data.min_size_train if split == "train" else cfg.data.min_size_test,
+        max_size=cfg.data.max_size_train if split == "train" else cfg.data.max_size_test,
+        pixel_mean=cfg.data.pixel_mean,
+        pixel_std=cfg.data.pixel_std,
+        use_depth=cfg.data.use_depth,
+        shuffle=split == "train",
+        seed=cfg.solver.seed,
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+        size_divisibility=cfg.data.size_divisibility,
+    )
+
+    def gen(max_iter, start_iter=0):
+        if split == "train":
+            yield from loader.iterations(max_iter, start_iter)
+        else:
+            yield from loader.epochs()
+
+    return gen
+
+
+def build_model(cfg):
+    from veto_tpu.models.sgg import SGGModel
+
+    return SGGModel(
+        num_obj_classes=cfg.model.num_obj_classes,
+        num_rel_classes=cfg.relation.num_classes,
+        mode=cfg.relation.mode,
+        stage_blocks=cfg.model.stage_blocks,
+        groups=cfg.model.resnet_groups,
+        width_per_group=cfg.model.resnet_width_per_group,
+        fpn_channels=cfg.model.fpn_channels,
+        pooler_resolution=cfg.relation.pooler_resolution,
+        pooler_scales=cfg.relation.pooler_scales,
+        pooler_sampling_ratio=cfg.relation.pooler_sampling_ratio,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def run_validation(cfg, model, state, val_gen, evaluator):
+    from veto_tpu.engine.train import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model, max_pairs=cfg.relation.max_proposal_pairs))
+    evaluator.reset()
+    for batch, recs in val_gen(max_iter=0):
+        preds = jax.device_get(eval_step(state, jax.tree.map(jnp.asarray, batch)))
+        for i, rec in enumerate(recs):
+            n = len(rec["boxes"])
+            pm = preds.pair_mask[i]
+            evaluator.add_image(
+                rec["boxes"], rec["labels"], rec["rel_tuples"], rec["boxes"],
+                preds.obj_labels[i][:n], preds.obj_scores[i][:n],
+                preds.pair_idx[i][pm], preds.rel_scores[i][pm],
+            )
+    return evaluator.aggregate()
+
+
+def train(cfg, logger):
+    from veto_tpu.data.predicate_stats import predicate_counts
+    from veto_tpu.engine.train import (
+        batch_sharding, create_train_state, make_mesh, make_train_step,
+        shard_train_step,
+    )
+    from veto_tpu.evaluation.sgg_eval import SGGEvaluator
+    from veto_tpu.models.relation.predictor_veto import beta_class_weights
+    from veto_tpu.solver.optim import LRController, make_optimizer
+    from veto_tpu.utils.checkpoint import CheckpointManager
+    from veto_tpu.utils.logger import JSONLWriter, MetricLogger
+
+    model = build_model(cfg)
+    train_ds = build_dataset(cfg, "train")
+    val_ds = build_dataset(cfg, "val")
+    train_gen = batches_for(cfg, train_ds, "train")
+    val_gen = batches_for(cfg, val_ds, "val")
+
+    # class weights (Rwt beta loss, roi_relation_predictors.py:4057-4070)
+    cw = None
+    if cfg.relation.beta_loss:
+        counts = predicate_counts(
+            "GQA" if "GQA" in cfg.data.dataset else "VG"
+        )[: cfg.relation.num_classes]
+        cw = beta_class_weights(counts, cfg.relation.beta)
+
+    rng = jax.random.PRNGKey(cfg.solver.seed)
+    first_batch, _ = next(train_gen(max_iter=1))
+    small = jax.tree.map(lambda x: jnp.asarray(x[:1]), first_batch)
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    params = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
+        train=False,
+    )["params"]
+    tx = make_optimizer(cfg.solver, params)
+    state = create_train_state(model, tx, rng, small)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"model init: {n_params / 1e6:.2f}M params")
+
+    ndev = len(jax.devices())
+    mesh = make_mesh(data=ndev, pair=1)
+    step_fn = shard_train_step(
+        make_train_step(
+            model, tx, cw,
+            batch_size_per_image=cfg.relation.batch_size_per_image,
+            positive_fraction=cfg.relation.positive_fraction,
+            mode=cfg.relation.mode, mesh=mesh,
+        ),
+        mesh,
+    )
+
+    ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
+    state, extra = ckpt.restore(state)
+    start_iter = int(state.step)
+    ctrl = LRController(cfg.solver)
+    if extra:
+        ctrl.__dict__.update({k: v for k, v in extra.items() if k != "cfg"})
+    if start_iter:
+        logger.info(f"resumed from iteration {start_iter}")
+
+    meters = MetricLogger()
+    writer = JSONLWriter(cfg.output_dir)
+    evaluator = SGGEvaluator(
+        mode=cfg.relation.mode, num_rel_classes=cfg.relation.num_classes
+    )
+
+    t_prev = time.time()
+    for it, (batch, _) in enumerate(
+        train_gen(cfg.solver.max_iter, start_iter), start=start_iter
+    ):
+        batch = jax.device_put(jax.tree.map(jnp.asarray, batch), batch_sharding(mesh))
+        scale = jnp.asarray(ctrl.scale(it), jnp.float32)
+        state, metrics = step_fn(state, batch, scale)
+
+        now = time.time()
+        meters.update(time=now - t_prev, **jax.device_get(metrics))
+        t_prev = now
+        if it % 30 == 0:
+            writer.write(it, jax.device_get(metrics))
+        if it % 100 == 0:
+            logger.info(
+                f"iter {it}/{cfg.solver.max_iter}  {meters}  "
+                f"lr_scale {float(scale):.4f}  eta {meters.eta_string(it, cfg.solver.max_iter)}"
+            )
+        if (it + 1) % cfg.solver.checkpoint_period == 0:
+            ckpt.save(it + 1, state, extra={
+                "decay_scale": ctrl.decay_scale, "best": ctrl.best,
+                "bad_epochs": ctrl.bad_epochs,
+                "cooldown_counter": ctrl.cooldown_counter,
+                "num_decays": ctrl.num_decays,
+            })
+        if (it + 1) % cfg.solver.val_period == 0:
+            agg = run_validation(cfg, model, state, val_gen, evaluator)
+            mr100 = agg["mR"][100]
+            logger.info(f"validation @ {it + 1}: mR@100 {mr100:.4f}")
+            writer.write(it + 1, {"val_mR100": mr100})
+            ctrl.report_validation(mr100)  # plateau signal (reference :559-563)
+            if ctrl.should_stop:
+                logger.info("max LR decays reached; stopping")
+                break
+
+    ckpt.save(int(state.step), state)
+    logger.info("training done")
+    return state
+
+
+def main():
+    parser = argparse.ArgumentParser(description="VETO-TPU relation training")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("opts", nargs="*", default=[])
+    args = parser.parse_args()
+
+    from veto_tpu.config import load_config
+    from veto_tpu.utils.logger import setup_logger
+
+    cfg = load_config(args.config, args.opts)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    cfg.dump(os.path.join(cfg.output_dir, "config.json"))
+    logger = setup_logger("veto_tpu", cfg.output_dir, rank=jax.process_index())
+    logger.info(f"devices: {jax.devices()}")
+    train(cfg, logger)
+
+
+if __name__ == "__main__":
+    main()
