@@ -30,9 +30,17 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from veto_tpu.models.relation.postprocess import postprocess_relations
+from veto_tpu.models.detector.box_head import assign_labels_to_proposals
+from veto_tpu.models.relation.postprocess import (
+    postprocess_relations,
+    postprocess_relations_sgdet,
+)
 from veto_tpu.models.relation.predictor_veto import weighted_ce_loss
-from veto_tpu.models.relation.sampling import gtbox_relsample, prepare_test_pairs
+from veto_tpu.models.relation.sampling import (
+    detect_relsample,
+    gtbox_relsample,
+    prepare_test_pairs,
+)
 
 from .batch import SGGBatch
 
@@ -185,6 +193,130 @@ def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls"):
         )
         return jax.vmap(postprocess_relations)(
             out.rel_logits, out.obj_dists, pair_idx, pair_mask
+        )
+
+    return eval_step
+
+
+def make_sgdet_train_step(
+    model,
+    tx,
+    rel_class_weights: Optional[np.ndarray],
+    batch_size_per_image: int = 1024,
+    positive_fraction: float = 0.25,
+    num_sample_per_gt_rel: int = 4,
+    require_overlap: bool = False,
+    mesh: Optional[Mesh] = None,
+):
+    """sgdet train step: frozen detection cascade → pair sampling → relation.
+
+    Mirrors the reference sgdet path (box_head.py:92-105 +
+    relation_head.py:112-131 detect_relsample + predictor losses).  The
+    detection cascade runs once outside the loss closure (it is frozen and
+    carries stop_gradients); the sampled pairs feed the trainable relation
+    head.  The relation predictor's object inputs are the NMS-reduced
+    ``pred_labels`` / ``predict_logits`` of the 80 detections, while the
+    sampler consumes GT-assigned labels (sampling.py:126-128).
+    """
+    cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
+
+    def train_step(state: TrainState, batch: SGGBatch, lr_scale: jnp.ndarray):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        sizes = batch.sizes.astype(jnp.float32)
+        det = model.apply(variables, batch.images, sizes, method="detect")
+        dets = det.detections
+
+        gt_labels, _ = jax.vmap(
+            lambda pb, pm, gb, gl, gm: assign_labels_to_proposals(pb, pm, gb, gl, gm)
+        )(dets.boxes, dets.mask, batch.boxes, batch.labels, batch.box_mask)
+
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        sample_keys = jax.random.split(step_rng, batch.batch_size)
+        samples = jax.vmap(
+            lambda k, rel, gb, gl, gm, pb, pl, ps, pm: detect_relsample(
+                k, rel, rel, gb, gl, gm, pb, pl, ps, pm,
+                batch_size=batch_size_per_image,
+                positive_fraction=positive_fraction,
+                num_sample_per_gt_rel=num_sample_per_gt_rel,
+                require_overlap=require_overlap,
+            )
+        )(
+            sample_keys, batch.rel_matrix, batch.boxes, batch.labels,
+            batch.box_mask, dets.boxes, gt_labels, dets.scores, dets.mask,
+        )
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                det.features, batch.depth, dets.boxes, dets.mask,
+                dets.labels, det.predict_logits,
+                samples.pair_idx, samples.mask,
+                train=True, mutable=["batch_stats"], method="relate",
+            )
+            rel_loss = weighted_ce_loss(
+                out.rel_logits, samples.labels, samples.mask, cw
+            )
+            # reference obj_loss: CE(one_hot(pred_labels), gt_labels) — a
+            # constant w.r.t. params (roi_relation_predictors.py:4129-4133);
+            # logged for parity, contributes no gradient.
+            obj_loss = weighted_ce_loss(
+                jax.lax.stop_gradient(out.obj_dists), gt_labels, dets.mask, None
+            )
+            losses = {"rel_loss": rel_loss, "obj_loss": obj_loss}
+            return rel_loss + obj_loss, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["lr_scale"] = lr_scale.astype(jnp.float32)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sgdet_eval_step(
+    model, max_pairs: int = 2048, later_nms_thres: float = 0.3,
+    require_overlap: bool = False,
+):
+    """sgdet eval: detect → all-pair enumeration over detections → relation
+    → sgdet post-processing (late obj NMS + per-class regression pick)."""
+
+    def eval_step(state: TrainState, batch: SGGBatch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        sizes = batch.sizes.astype(jnp.float32)
+        det = model.apply(variables, batch.images, sizes, method="detect")
+        dets = det.detections
+
+        pair_idx, pair_mask = jax.vmap(
+            lambda m, s, bx: prepare_test_pairs(
+                m, s, bx, max_pairs=max_pairs, require_overlap=require_overlap
+            )
+        )(dets.mask, dets.scores, dets.boxes)
+
+        out = model.apply(
+            variables, det.features, batch.depth, dets.boxes, dets.mask,
+            dets.labels, det.predict_logits, pair_idx, pair_mask,
+            train=False, method="relate",
+        )
+        return jax.vmap(
+            lambda rl, od, pi, pm, bpc, dm: postprocess_relations_sgdet(
+                rl, od, pi, pm, bpc, dm, later_nms_thres=later_nms_thres
+            )
+        )(
+            out.rel_logits, out.obj_dists, pair_idx, pair_mask,
+            dets.boxes_per_cls, dets.mask,
         )
 
     return eval_step

@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from veto_tpu.ops.nms import obj_prediction_nms
+
 
 class RelPrediction(NamedTuple):
     pair_idx: jnp.ndarray       # (P, 2) sorted by triple score desc
@@ -53,4 +55,60 @@ def postprocess_relations(
         pair_mask=pair_mask[order],
         obj_labels=obj_labels,
         obj_scores=obj_scores,
+    )
+
+
+class SGDetPrediction(NamedTuple):
+    boxes: jnp.ndarray          # (N, 4) final boxes: boxes_per_cls[i, label]
+    obj_labels: jnp.ndarray     # (N,) re-NMS'd object classes
+    obj_scores: jnp.ndarray     # (N,)
+    det_mask: jnp.ndarray       # (N,)
+    pair_idx: jnp.ndarray       # (P, 2) sorted by triple score desc
+    rel_scores: jnp.ndarray     # (P, C)
+    rel_labels: jnp.ndarray     # (P,)
+    pair_mask: jnp.ndarray      # (P,)
+
+
+def postprocess_relations_sgdet(
+    rel_logits: jnp.ndarray,     # (P, C)
+    obj_dists: jnp.ndarray,      # (N, num_obj) predictor obj logits/one-hot
+    pair_idx: jnp.ndarray,       # (P, 2)
+    pair_mask: jnp.ndarray,      # (P,)
+    boxes_per_cls: jnp.ndarray,  # (N, num_obj, 4) from the box head
+    det_mask: jnp.ndarray,       # (N,)
+    later_nms_thres: float = 0.3,
+) -> SGDetPrediction:
+    """sgdet path of the reference PostProcessor (inference.py:409-433):
+    late object NMS (``obj_prediction_nms`` at LATER_NMS_PREDICTION_THRES)
+    re-picks each detection's class, the final box is the class-specific
+    regression ``boxes_per_cls[i, cls]``, and triples sort by
+    rel·subj·obj score.  Single image; vmap at the call site.
+    """
+    obj_pred = obj_prediction_nms(
+        boxes_per_cls, obj_dists, later_nms_thres, valid_mask=det_mask
+    )
+    obj_prob = jax.nn.softmax(obj_dists.astype(jnp.float32), axis=-1)
+    obj_prob = obj_prob.at[:, 0].set(0.0)
+    obj_scores = jnp.take_along_axis(obj_prob, obj_pred[:, None], axis=1)[:, 0]
+    boxes = jnp.take_along_axis(
+        boxes_per_cls, obj_pred[:, None, None].repeat(4, -1).astype(jnp.int32), axis=1
+    )[:, 0]
+
+    rel_prob = jax.nn.softmax(rel_logits.astype(jnp.float32), axis=-1)
+    rel_scores_fg = jnp.max(rel_prob[:, 1:], axis=-1)
+    rel_labels = jnp.argmax(rel_prob[:, 1:], axis=-1) + 1
+
+    triple = rel_scores_fg * obj_scores[pair_idx[:, 0]] * obj_scores[pair_idx[:, 1]]
+    triple = jnp.where(pair_mask, triple, -jnp.inf)
+    order = jnp.argsort(-triple)
+
+    return SGDetPrediction(
+        boxes=boxes,
+        obj_labels=obj_pred.astype(jnp.int32),
+        obj_scores=obj_scores,
+        det_mask=det_mask,
+        pair_idx=pair_idx[order],
+        rel_scores=rel_prob[order],
+        rel_labels=rel_labels[order],
+        pair_mask=pair_mask[order],
     )

@@ -90,6 +90,182 @@ def gtbox_relsample(
     return RelSample(pair_idx=pair_idx, labels=labels, mask=mask, binary_rel=sym)
 
 
+class DetRelSample(NamedTuple):
+    pair_idx: jnp.ndarray     # (P, 2) int32 indices into detections
+    labels: jnp.ndarray       # (P,) predicate labels from the (resampled) matrix
+    labels_all: jnp.ndarray   # (P,) labels from the non-masked matrix
+    mask: jnp.ndarray         # (P,)
+    binary_rel: jnp.ndarray   # (D, D) symmetric GT relatedness over detections
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "batch_size", "positive_fraction", "num_sample_per_gt_rel",
+        "fg_thres", "require_overlap", "max_gt_rels",
+    ),
+)
+def detect_relsample(
+    rng: jax.Array,
+    rel_matrix: jnp.ndarray,      # (T, T) GT predicate labels (resampling-masked)
+    rel_matrix_all: jnp.ndarray,  # (T, T) non-masked labels (same array if no rsmp)
+    tgt_boxes: jnp.ndarray,       # (T, 4)
+    tgt_labels: jnp.ndarray,      # (T,)
+    tgt_mask: jnp.ndarray,        # (T,)
+    prp_boxes: jnp.ndarray,       # (D, 4) post-NMS detections
+    prp_labels: jnp.ndarray,      # (D,) assigned GT labels (0 = bg)
+    prp_scores: jnp.ndarray,      # (D,) detection scores
+    prp_mask: jnp.ndarray,        # (D,)
+    batch_size: int = 1024,
+    positive_fraction: float = 0.25,
+    num_sample_per_gt_rel: int = 4,
+    fg_thres: float = 0.5,
+    require_overlap: bool = False,
+    max_gt_rels: int = 160,
+) -> DetRelSample:
+    """Single-image sgdet pair sampling — the vectorized reformulation of
+    detect_relsample + motif_rel_fg_bg_sampling (sampling.py:109-309).
+
+    Semantics preserved:
+      * a detection matches a GT box iff same label and IoU > ``fg_thres``;
+      * every GT relation expands to all head-match x tail-match pairs, capped
+        at ``num_sample_per_gt_rel`` by IoU-product-weighted sampling without
+        replacement (:257-262 — realized here as Gumbel top-k, the exact
+        same distribution as npr.choice(p=w, replace=False));
+      * total foreground capped at batch*positive_fraction by uniform
+        subsampling (:273-276);
+      * every candidate pair of every GT relation is removed from the
+        background pool (:249-251), backgrounds are drawn uniformly from the
+        top-``2*num_neg`` quality-sorted (pred-score-product) pairs
+        (:287-293);
+      * if no fg and no bg exist the reference emits two (0, 0, 0) dummy
+        triplets (:297-303) — reproduced;
+      * ``binary_rel`` marks all head-match x tail-match combos symmetric,
+        diagonal included (:207-213).
+
+    Emission order is fg (GT-rel-major) then bg.  Two divergences, both
+    invisible to the order-agnostic loss: the reference random-permutes fg
+    when over the cap and bg always; we keep deterministic order with the
+    same marginal distribution of the selected *set*.
+    """
+    t = rel_matrix.shape[0]
+    d = prp_boxes.shape[0]
+    num_pos = int(batch_size * positive_fraction)
+    r = min(max_gt_rels, t * t)
+    k_rng, fg_rng, bg_rng = jax.random.split(rng, 3)
+
+    # ---- GT relation list (row-major nonzero order), static budget R
+    flat_rel = rel_matrix.reshape(-1).astype(jnp.int32)
+    flat_all = rel_matrix_all.reshape(-1).astype(jnp.int32)
+    pair_valid = (
+        (flat_rel != 0)
+        & tgt_mask[jnp.repeat(jnp.arange(t), t)]
+        & tgt_mask[jnp.tile(jnp.arange(t), (t,))]
+    )
+    order = jnp.argsort(~pair_valid, stable=True)[:r]
+    rel_valid = pair_valid[order]
+    rel_h = (order // t).astype(jnp.int32)
+    rel_t = (order % t).astype(jnp.int32)
+    rel_lab = jnp.maximum(flat_rel[order], 0)
+    rel_lab_all = jnp.maximum(flat_all[order], 0)
+
+    # ---- matching
+    from veto_tpu.ops.box_ops import box_iou
+
+    ious = box_iou(tgt_boxes, prp_boxes)  # (T, D)
+    ious = jnp.where(tgt_mask[:, None] & prp_mask[None, :], ious, 0.0)
+    is_match = (tgt_labels[:, None] == prp_labels[None, :]) & (ious > fg_thres)
+
+    # ---- per-GT-rel candidate pairs (R, D, D)
+    mh = is_match[rel_h] & rel_valid[:, None]  # (R, D)
+    mt = is_match[rel_t] & rel_valid[:, None]
+    notself = ~jnp.eye(d, dtype=bool)
+    cand = mh[:, :, None] & mt[:, None, :] & notself[None]
+
+    # binary relatedness: symmetric, diagonal kept (reference :207-213)
+    marks = jnp.einsum("ri,rj->ij", mh.astype(jnp.int32), mt.astype(jnp.int32)) > 0
+    binary_rel = (marks | marks.T).astype(jnp.int32)
+
+    # ---- weighted cap per GT rel: Gumbel top-k = npr.choice(p, replace=False)
+    w = ious[rel_h][:, :, None] * ious[rel_t][:, None, :]  # (R, D, D)
+    gumbel = jax.random.gumbel(k_rng, (r, d * d))
+    key = jnp.where(
+        cand.reshape(r, -1), jnp.log(jnp.maximum(w.reshape(r, -1), 1e-20)) + gumbel,
+        -jnp.inf,
+    )
+    top_key, top_flat = jax.lax.top_k(key, num_sample_per_gt_rel)  # (R, K)
+    fg_sel = top_key > -jnp.inf
+    fg_head = (top_flat // d).astype(jnp.int32)
+    fg_tail = (top_flat % d).astype(jnp.int32)
+    fg_lab = jnp.broadcast_to(rel_lab[:, None], fg_sel.shape)
+    fg_lab_all = jnp.broadcast_to(rel_lab_all[:, None], fg_sel.shape)
+
+    # flatten (R*K) in GT-rel-major order
+    fg_sel = fg_sel.reshape(-1)
+    fg_head, fg_tail = fg_head.reshape(-1), fg_tail.reshape(-1)
+    fg_lab, fg_lab_all = fg_lab.reshape(-1), fg_lab_all.reshape(-1)
+
+    # cap total fg at num_pos by uniform subsampling
+    u = jax.random.uniform(fg_rng, fg_sel.shape)
+    fg_rank = jnp.argsort(jnp.argsort(jnp.where(fg_sel, u, jnp.inf)))
+    fg_keep = fg_sel & (fg_rank < num_pos)
+    num_fg = jnp.sum(fg_keep.astype(jnp.int32))
+
+    # ---- background pool
+    if require_overlap:
+        self_iou = box_iou(prp_boxes, prp_boxes)
+        possibility = (self_iou > 0) & (self_iou < 1)
+    else:
+        possibility = notself
+    possibility = (
+        possibility
+        & prp_mask[:, None] & prp_mask[None, :]
+        & (prp_labels[:, None] > 0) & (prp_labels[None, :] > 0)
+        & ~jnp.any(cand, axis=0)
+    ).reshape(-1)
+    quality = (prp_scores[:, None] * prp_scores[None, :]).reshape(-1)
+    num_bg_avail = jnp.sum(possibility.astype(jnp.int32))
+    num_neg = jnp.minimum(batch_size - num_fg, num_bg_avail)
+
+    q_rank = jnp.argsort(jnp.argsort(jnp.where(possibility, -quality, jnp.inf)))
+    eligible = possibility & (q_rank < 2 * num_neg)
+    ub = jax.random.uniform(bg_rng, possibility.shape)
+    bg_rank = jnp.argsort(jnp.argsort(jnp.where(eligible, ub, jnp.inf)))
+    bg_keep = eligible & (bg_rank < num_neg)
+
+    # ---- assemble: fg (in order) then bg, padded to batch_size
+    nfg, nbg = fg_sel.shape[0], possibility.shape[0]
+    big = nfg + nbg
+    fg_key = jnp.where(fg_keep, fg_rank, big + jnp.arange(nfg))
+    bg_key = jnp.where(bg_keep, num_pos + bg_rank, 2 * big + jnp.arange(nbg))
+    all_key = jnp.concatenate([fg_key, bg_key])
+    all_head = jnp.concatenate([fg_head, (jnp.arange(nbg) // d).astype(jnp.int32)])
+    all_tail = jnp.concatenate([fg_tail, (jnp.arange(nbg) % d).astype(jnp.int32)])
+    all_lab = jnp.concatenate([fg_lab, jnp.zeros((nbg,), jnp.int32)])
+    all_lab_all = jnp.concatenate([fg_lab_all, jnp.zeros((nbg,), jnp.int32)])
+    all_keep = jnp.concatenate([fg_keep, bg_keep])
+
+    sel = jnp.argsort(all_key)[:batch_size]
+    mask = all_keep[sel]
+    # dummy fallback: two (0, 0, 0) triplets when nothing was sampled
+    empty = (num_fg + jnp.sum(bg_keep.astype(jnp.int32))) == 0
+    dummy = empty & (jnp.arange(batch_size) < 2)
+    mask = mask | dummy
+    pair_idx = jnp.where(
+        mask[:, None] & ~dummy[:, None],
+        jnp.stack([all_head[sel], all_tail[sel]], axis=-1),
+        0,
+    )
+    labels = jnp.where(mask & ~dummy, all_lab[sel], jnp.where(dummy, 0, -1))
+    labels = jnp.where(mask, labels, -1)
+    labels_all = jnp.where(mask & ~dummy, all_lab_all[sel], jnp.where(dummy, 0, -1))
+    labels_all = jnp.where(mask, labels_all, -1)
+    return DetRelSample(
+        pair_idx=pair_idx, labels=labels, labels_all=labels_all, mask=mask,
+        binary_rel=binary_rel,
+    )
+
+
 @partial(jax.jit, static_argnames=("max_pairs", "require_overlap"))
 def prepare_test_pairs(
     box_mask: jnp.ndarray,     # (N,) bool

@@ -1,42 +1,67 @@
-"""End-to-end scene-graph-generation model.
+"""End-to-end scene-graph-generation model, all three task modes.
 
-Composes the frozen RGB detector backbone, the trainable depth backbone, the
-multi-level ROI pooling, and the VETO relation predictor — the TPU
-re-design of GeneralizedRCNN + ROIRelationHead for the GT-box modes
-(reference generalized_rcnn.py:16-76, relation_head.py:26-257,
-roi_box_feature_extractors.py:75-141 VETOFeatureExtractor).
+Composes the frozen RGB detector (ResNeXt-FPN backbone, RPN, box head), the
+trainable depth backbone, multi-level ROI pooling, and the VETO relation
+predictor — the TPU re-design of GeneralizedRCNN + CombinedROIHeads +
+ROIRelationHead (reference generalized_rcnn.py:16-76, roi_heads.py:11-45,
+box_head.py:40-144, relation_head.py:26-257).
 
-The module is a pure function of (params, batch): pair sampling (random) and
-losses live OUTSIDE in the train step, keeping this forward reusable for
-train/eval and for the sgdet detection cascade later.
+Mode map (relation_train_net.py:735-741):
+  * predcls — GT boxes + GT labels; only ``__call__`` path, no detector head.
+  * sgcls   — GT boxes; the frozen box predictor produces ``predict_logits``
+    on pooled GT boxes and ``pred_labels`` via obj_prediction_nms
+    (box_head.py add_predict_info:20-37).
+  * sgdet   — full cascade: ``detect`` runs backbone→RPN→box head→
+    post-processing (80 detections with ``boxes_per_cls``), then ``relate``
+    runs the relation head over those detections.  Pair sampling happens
+    OUTSIDE the module (engine/train.py) so forwards stay pure.
 
-Layout: NHWC images, (B, N) padded proposals, (B, P) padded pairs.  The
-frozen detector runs under stop_gradient in bf16; only depth backbone +
+The module is pure-functional: (params, batch) → logits.  The frozen
+detector runs under stop_gradient in bf16; only the depth backbone +
 relation head receive gradients (relation_train_net.py:161-170).
+
+Layout: NHWC images, (B, N) padded proposals, (B, P) padded pairs.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from veto_tpu.ops.nms import obj_prediction_nms
 from veto_tpu.ops.roi_align import multilevel_roi_align, roi_align
 
 from .backbone.depth_resnet import DepthResNet18
 from .backbone.resnet import ResNetFPNBackbone
+from .detector.anchors import fpn_anchors
+from .detector.box_head import (
+    BoxFeatureExtractor,
+    BoxPredictor,
+    Detections,
+    box_postprocess,
+)
+from .detector.rpn import RPNHead, flatten_level, rpn_select_proposals
 from .relation.predictor_veto import VetoPredictor, VetoPredictorOutput
 
 
 class SGGForward(NamedTuple):
     rel_logits: jnp.ndarray   # (B, P, num_rel) float32
     obj_dists: jnp.ndarray    # (B, N, num_obj) float32
+    pred_labels: jnp.ndarray  # (B, N) int32 predicted object labels
+    predict_logits: jnp.ndarray  # (B, N, num_obj) frozen box-head logits
+
+
+class DetectOutput(NamedTuple):
+    features: Tuple[jnp.ndarray, ...]   # FPN maps (stop-gradient)
+    detections: Detections              # batched (B, D, ...) fields
+    predict_logits: jnp.ndarray         # (B, D, num_obj)
 
 
 class SGGModel(nn.Module):
-    """predcls/sgcls forward: GT boxes in, relation logits out."""
+    """Multi-mode SGG model; ``mode`` selects the forward topology."""
 
     num_obj_classes: int = 151
     num_rel_classes: int = 51
@@ -46,6 +71,23 @@ class SGGModel(nn.Module):
     groups: int = 32
     width_per_group: int = 8
     fpn_channels: int = 256
+    # RPN (configs/VETO_final.yaml:17-29)
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    aspect_ratios: Tuple[float, ...] = (0.23232838, 0.63365731, 1.28478321, 3.15089189)
+    rpn_pre_nms_top_n: int = 6000
+    rpn_post_nms_top_n: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_fpn_post_nms_top_n: int = 1000
+    rpn_min_size: float = 0.0
+    # box head (yaml :30-46)
+    box_pooler_resolution: int = 7
+    box_mlp_dim: int = 4096
+    box_score_thresh: float = 0.01
+    box_nms_thresh: float = 0.3
+    box_post_nms_per_cls_topn: int = 300
+    nms_filter_duplicates: bool = True
+    detections_per_img: int = 80
     # pooling (VETOFeatureExtractor: relation-head resolution 8,
     # box-head scales P2..P5; depth pooled at the stride-16 level)
     pooler_resolution: int = 8
@@ -54,56 +96,194 @@ class SGGModel(nn.Module):
     depth_scale: float = 0.0625
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(
-        self,
-        images: jnp.ndarray,       # (B, H, W, 3)
-        depth: jnp.ndarray,        # (B, H, W, 1)
-        boxes: jnp.ndarray,        # (B, N, 4) xyxy in padded-image coords
-        box_mask: jnp.ndarray,     # (B, N)
-        obj_labels: jnp.ndarray,   # (B, N) GT labels (predcls) / pred labels
-        obj_logits: jnp.ndarray,   # (B, N, num_obj) detector logits
-        pair_idx: jnp.ndarray,     # (B, P, 2)
-        pair_mask: jnp.ndarray,    # (B, P)
-        train: bool = False,
-    ) -> SGGForward:
-        feats = ResNetFPNBackbone(
+    def setup(self):
+        self.backbone = ResNetFPNBackbone(
             stage_blocks=self.stage_blocks, groups=self.groups,
             width_per_group=self.width_per_group, fpn_channels=self.fpn_channels,
-            dtype=self.dtype, name="backbone",
-        )(images)
-        # detector is frozen during relation training
-        feats = tuple(jax.lax.stop_gradient(f) for f in feats)
-
-        depth_feat = DepthResNet18(dtype=self.dtype, name="depth_backbone")(
-            depth, train=train
+            dtype=self.dtype,
+        )
+        self.depth_backbone = DepthResNet18(dtype=self.dtype)
+        self.rpn = RPNHead(
+            mid_channels=256, num_anchors=len(self.aspect_ratios), dtype=self.dtype
+        )
+        self.box_extractor = BoxFeatureExtractor(
+            mlp_dim=self.box_mlp_dim, dtype=self.dtype
+        )
+        self.box_predictor = BoxPredictor(
+            num_classes=self.num_obj_classes, dtype=self.dtype
+        )
+        self.relation = VetoPredictor(
+            num_obj_classes=self.num_obj_classes,
+            num_rel_classes=self.num_rel_classes,
+            mode=self.mode,
+            dtype=self.dtype,
         )
 
-        # ROI pooling: RGB from assigned FPN level (P2..P5), depth from its
-        # single stride-16 map (reference poolers.py:144-153 uses the level-2
-        # pooler for all rois).
-        pool = jax.vmap(
+    # ------------------------------------------------------------------
+    # shared stages
+    # ------------------------------------------------------------------
+    def extract_features(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """Frozen FPN pyramid (P2..P6), stop-gradient."""
+        feats = self.backbone(images)
+        return tuple(jax.lax.stop_gradient(f) for f in feats)
+
+    def _pool_boxes(self, feats, boxes, resolution):
+        """Multi-level 8x8/7x7 RGB pooling, vmapped over the batch."""
+        return jax.vmap(
             lambda fs, rois: multilevel_roi_align(
-                fs, rois, self.pooler_scales, self.pooler_resolution,
+                fs, rois, self.pooler_scales, resolution,
                 self.pooler_sampling_ratio,
             )
+        )(feats[: len(self.pooler_scales)], boxes)
+
+    def _box_logits(self, feats, boxes):
+        """predict_logits + deltas for rois via the frozen box head."""
+        pooled = self._pool_boxes(feats, boxes, self.box_pooler_resolution)
+        x = self.box_extractor(pooled)
+        logits, deltas = self.box_predictor(x)
+        return (
+            jax.lax.stop_gradient(logits.astype(jnp.float32)),
+            jax.lax.stop_gradient(deltas.astype(jnp.float32)),
         )
-        roi_feats = pool(feats[: len(self.pooler_scales)], boxes)
+
+    # ------------------------------------------------------------------
+    # sgdet detection cascade
+    # ------------------------------------------------------------------
+    def detect(
+        self,
+        images: jnp.ndarray,       # (B, H, W, 3)
+        image_sizes: jnp.ndarray,  # (B, 2) = (w, h) un-padded
+    ) -> DetectOutput:
+        """backbone → RPN → box head → 80 padded detections per image."""
+        feats = self.extract_features(images)
+        h, w = images.shape[1:3]
+        anchor_list = fpn_anchors(
+            (h, w), self.anchor_sizes, self.anchor_strides, self.aspect_ratios
+        )
+        anchors = tuple(jnp.asarray(a) for a, _ in anchor_list)
+
+        obj_maps, reg_maps = self.rpn(feats)
+        obj_maps = tuple(jax.lax.stop_gradient(m.astype(jnp.float32)) for m in obj_maps)
+        reg_maps = tuple(jax.lax.stop_gradient(m.astype(jnp.float32)) for m in reg_maps)
+
+        def propose_one(obj_b, reg_b, size):
+            flat = [flatten_level(o, r) for o, r in zip(obj_b, reg_b)]
+            return rpn_select_proposals(
+                [f[0] for f in flat], [f[1] for f in flat], anchors, size,
+                self.rpn_pre_nms_top_n, self.rpn_post_nms_top_n,
+                self.rpn_nms_thresh, self.rpn_fpn_post_nms_top_n,
+                self.rpn_min_size,
+            )
+
+        proposals = jax.vmap(propose_one)(obj_maps, reg_maps, image_sizes)
+
+        logits, deltas = self._box_logits(feats, proposals.boxes)
+        dets = jax.vmap(
+            lambda lg, dl, bx, mk, sz: box_postprocess(
+                lg, dl, bx, mk, sz,
+                score_thresh=self.box_score_thresh,
+                nms_thresh=self.box_nms_thresh,
+                post_nms_per_cls_topn=self.box_post_nms_per_cls_topn,
+                nms_filter_duplicates=self.nms_filter_duplicates,
+                detections_per_img=self.detections_per_img,
+            )
+        )(logits, deltas, proposals.boxes, proposals.mask, image_sizes)
+
+        det_logits = jnp.take_along_axis(logits, dets.orig_idx[..., None], axis=1)
+        return DetectOutput(
+            features=feats, detections=dets, predict_logits=det_logits
+        )
+
+    # ------------------------------------------------------------------
+    # relation head over given boxes (GT or detections)
+    # ------------------------------------------------------------------
+    def relate(
+        self,
+        feats: Tuple[jnp.ndarray, ...],
+        depth: jnp.ndarray,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        obj_logits: jnp.ndarray,
+        pair_idx: jnp.ndarray,
+        pair_mask: jnp.ndarray,
+        train: bool = False,
+    ) -> VetoPredictorOutput:
+        depth_feat = self.depth_backbone(depth, train=train)
+        roi_feats = self._pool_boxes(feats, boxes, self.pooler_resolution)
         depth_roi = jax.vmap(
             lambda f, rois: roi_align(
                 f, rois, self.depth_scale, self.pooler_resolution,
                 self.pooler_sampling_ratio,
             )
         )(depth_feat, boxes)
-
-        out: VetoPredictorOutput = VetoPredictor(
-            num_obj_classes=self.num_obj_classes,
-            num_rel_classes=self.num_rel_classes,
-            mode=self.mode,
-            dtype=self.dtype,
-            name="relation",
-        )(
+        return self.relation(
             boxes, box_mask, obj_labels, obj_logits, pair_idx, pair_mask,
             roi_feats, depth_roi, train=train,
         )
-        return SGGForward(rel_logits=out.rel_logits, obj_dists=out.obj_dists)
+
+    # ------------------------------------------------------------------
+    # GT-box forward (predcls / sgcls) — the original entry point
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        images: jnp.ndarray,       # (B, H, W, 3)
+        depth: jnp.ndarray,        # (B, H, W, 1)
+        boxes: jnp.ndarray,        # (B, N, 4) xyxy in padded-image coords
+        box_mask: jnp.ndarray,     # (B, N)
+        obj_labels: jnp.ndarray,   # (B, N) GT labels
+        obj_logits: jnp.ndarray,   # (B, N, num_obj) unused placeholder
+        pair_idx: jnp.ndarray,     # (B, P, 2)
+        pair_mask: jnp.ndarray,    # (B, P)
+        train: bool = False,
+    ) -> SGGForward:
+        feats = self.extract_features(images)
+
+        if self.mode == "sgcls":
+            # frozen box predictor on GT boxes (box_head.py:85-90);
+            # pred_labels via tiled-box obj_prediction_nms at 0.5
+            # (add_predict_info:20-37)
+            predict_logits, _ = self._box_logits(feats, boxes)
+            tiled = jnp.broadcast_to(
+                boxes[:, :, None, :],
+                boxes.shape[:2] + (self.num_obj_classes, 4),
+            )
+            pred_labels = jax.vmap(
+                lambda b, lg, m: obj_prediction_nms(b, lg, 0.5, valid_mask=m)
+            )(tiled, predict_logits, box_mask)
+            rel_labels_in = pred_labels
+        else:
+            predict_logits = jax.nn.one_hot(
+                obj_labels, self.num_obj_classes, dtype=jnp.float32
+            )
+            pred_labels = obj_labels
+            rel_labels_in = obj_labels
+
+        out = self.relate(
+            feats, depth, boxes, box_mask, rel_labels_in, predict_logits,
+            pair_idx, pair_mask, train=train,
+        )
+        return SGGForward(
+            rel_logits=out.rel_logits,
+            obj_dists=out.obj_dists,
+            pred_labels=pred_labels,
+            predict_logits=predict_logits,
+        )
+
+    # ------------------------------------------------------------------
+    def init_all(
+        self, images, depth, boxes, box_mask, obj_labels, obj_logits,
+        pair_idx, pair_mask, image_sizes=None,
+    ):
+        """Trace every submodule once so init builds the full param tree."""
+        if image_sizes is None:
+            h, w = images.shape[1:3]
+            image_sizes = jnp.tile(
+                jnp.asarray([[w, h]], jnp.float32), (images.shape[0], 1)
+            )
+        det = self.detect(images, image_sizes)
+        out = self.relate(
+            det.features, depth, boxes, box_mask, obj_labels, obj_logits,
+            pair_idx, pair_mask, train=False,
+        )
+        return out
