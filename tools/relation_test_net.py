@@ -25,10 +25,19 @@ def main():
     parser.add_argument("opts", nargs="*", default=[])
     args = parser.parse_args()
 
-    from relation_train_net import batches_for, build_dataset, build_model
+    import numpy as np
+    from relation_train_net import (
+        FROZEN_DETECTOR,
+        accumulate_eval,
+        batches_for,
+        build_dataset,
+        build_model,
+        init_model,
+        make_eval_fn,
+    )
 
     from veto_tpu.config import load_config
-    from veto_tpu.engine.train import create_train_state, make_eval_step
+    from veto_tpu.engine.train import create_train_state
     from veto_tpu.evaluation.sgg_eval import SGGEvaluator
     from veto_tpu.solver.optim import make_optimizer
     from veto_tpu.utils.checkpoint import CheckpointManager
@@ -43,32 +52,23 @@ def main():
     rng = jax.random.PRNGKey(cfg.solver.seed)
     batch, _ = next(gen(max_iter=1))
     small = jax.tree.map(lambda x: jnp.asarray(x[:1]), batch)
-    pi = jnp.zeros((1, 8, 2), jnp.int32)
-    params = model.init(
-        rng, small.images, small.depth, small.boxes, small.box_mask,
-        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
-        train=False,
-    )["params"]
-    tx = make_optimizer(cfg.solver, params)
-    state = create_train_state(model, tx, rng, small)
+    variables = init_model(cfg, model, rng, small)
+    tx = make_optimizer(cfg.solver, variables["params"],
+                        frozen_prefixes=FROZEN_DETECTOR)
+    state = create_train_state(model, tx, rng, small, variables=variables)
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
     state, _ = ckpt.restore(state)
     logger.info(f"evaluating checkpoint @ step {int(state.step)}")
 
-    eval_step = jax.jit(make_eval_step(model, max_pairs=cfg.relation.max_proposal_pairs))
+    step, kind = make_eval_fn(cfg, model)
     evaluator = SGGEvaluator(
         mode=cfg.relation.mode, num_rel_classes=cfg.relation.num_classes
     )
     for batch, recs in gen(max_iter=0):
-        preds = jax.device_get(eval_step(state, jax.tree.map(jnp.asarray, batch)))
-        for i, rec in enumerate(recs):
-            n = len(rec["boxes"])
-            pm = preds.pair_mask[i]
-            evaluator.add_image(
-                rec["boxes"], rec["labels"], rec["rel_tuples"], rec["boxes"],
-                preds.obj_labels[i][:n], preds.obj_scores[i][:n],
-                preds.pair_idx[i][pm], preds.rel_scores[i][pm],
-            )
+        batch = jax.tree.map(jnp.asarray, batch)
+        preds = jax.device_get(step(state, batch))
+        accumulate_eval(kind, preds, recs, evaluator,
+                        input_sizes=np.asarray(batch.sizes))
     logger.info("\n" + evaluator.summary_string())
     agg = evaluator.aggregate()
     out = {

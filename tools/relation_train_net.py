@@ -112,39 +112,174 @@ def batches_for(cfg, dataset, split: str):
     return gen
 
 
+def build_meet_config(cfg):
+    """MEET routing constants, or None when the ensemble is disabled."""
+    if not cfg.ensemble.enabled:
+        return None
+    from veto_tpu.models.relation.predictor_meet import make_meet_config
+
+    return make_meet_config(
+        dataset="GQA" if "GQA" in cfg.data.dataset else "VG",
+        split=cfg.ensemble.group_split,
+        expert_group=cfg.ensemble.expert_group,
+        voting=cfg.ensemble.voting,
+    )
+
+
 def build_model(cfg):
     from veto_tpu.models.sgg import SGGModel
 
+    meet = build_meet_config(cfg)
+    predictor = cfg.relation.predictor
+    if predictor == "VETOPredictor_MEET":
+        predictor = "VETOPredictor"  # selected via meet_group_sizes
     return SGGModel(
         num_obj_classes=cfg.model.num_obj_classes,
         num_rel_classes=cfg.relation.num_classes,
         mode=cfg.relation.mode,
+        predictor=predictor,
         stage_blocks=cfg.model.stage_blocks,
         groups=cfg.model.resnet_groups,
         width_per_group=cfg.model.resnet_width_per_group,
         fpn_channels=cfg.model.fpn_channels,
+        anchor_sizes=cfg.model.anchor_sizes,
+        anchor_strides=cfg.model.anchor_strides,
+        aspect_ratios=cfg.model.aspect_ratios,
+        rpn_pre_nms_top_n=cfg.model.rpn_pre_nms_top_n_test,
+        rpn_post_nms_top_n=cfg.model.rpn_post_nms_top_n_test,
+        rpn_nms_thresh=cfg.model.rpn_nms_thresh,
+        rpn_fpn_post_nms_top_n=cfg.model.rpn_post_nms_top_n_test,
+        box_pooler_resolution=cfg.model.box_pooler_resolution,
+        box_mlp_dim=cfg.model.box_mlp_head_dim,
+        box_score_thresh=cfg.model.box_score_thresh,
+        box_nms_thresh=cfg.model.box_nms_thresh,
+        nms_filter_duplicates=cfg.model.nms_filter_duplicates,
+        detections_per_img=cfg.model.box_detections_per_img,
         pooler_resolution=cfg.relation.pooler_resolution,
         pooler_scales=cfg.relation.pooler_scales,
         pooler_sampling_ratio=cfg.relation.pooler_sampling_ratio,
+        meet_group_sizes=meet.group_sizes if meet else None,
+        meet_experts=meet.experts_per_group if meet else 1,
+        context_hidden_dim=cfg.relation.context_hidden_dim,
+        context_pooling_dim=cfg.relation.context_pooling_dim,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
 
 
-def run_validation(cfg, model, state, val_gen, evaluator):
-    from veto_tpu.engine.train import make_eval_step
+FROZEN_DETECTOR = ("backbone", "rpn", "box_extractor", "box_predictor")
 
-    eval_step = jax.jit(make_eval_step(model, max_pairs=cfg.relation.max_proposal_pairs))
+
+def init_model(cfg, model, rng, small_batch):
+    """Init the param tree; sgdet traces the full cascade (init_all)."""
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    pm = jnp.ones((1, 8), bool)
+    kwargs = dict(train=False)
+    method = None
+    if cfg.relation.mode in ("sgcls", "sgdet"):
+        method = "init_all"
+        kwargs = {}
+    return model.init(
+        rng, small_batch.images, small_batch.depth, small_batch.boxes,
+        small_batch.box_mask, small_batch.labels, small_batch.obj_logits,
+        pi, pm, method=method, **kwargs,
+    )
+
+
+def make_eval_fn(cfg, model):
+    """Mode/ensemble-aware jitted eval step."""
+    from veto_tpu.engine.train import (
+        make_eval_step,
+        make_meet_eval_step,
+        make_sgdet_eval_step,
+    )
+
+    meet = build_meet_config(cfg)
+    mp = cfg.relation.max_proposal_pairs
+    if meet is not None:
+        return jax.jit(
+            make_meet_eval_step(
+                model, meet, max_pairs=mp, mode=cfg.relation.mode,
+                later_nms_thres=cfg.relation.later_nms_prediction_thres,
+            )
+        ), "meet"
+    if cfg.relation.mode == "sgdet":
+        return jax.jit(
+            make_sgdet_eval_step(
+                model, max_pairs=mp,
+                later_nms_thres=cfg.relation.later_nms_prediction_thres,
+                require_overlap=cfg.test.relation_require_overlap,
+            )
+        ), "sgdet"
+    return jax.jit(make_eval_step(model, max_pairs=mp)), "gtbox"
+
+
+def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None):
+    """Feed one batch of padded predictions into the NumPy evaluator."""
+    if kind == "meet":
+        preds, boxes, det_mask = preds_out
+        for i, rec in enumerate(recs):
+            pm = preds.pair_mask[i]
+            dm = det_mask[i]
+            if pm.sum() == 0 or dm.sum() == 0:
+                continue
+            remap = np.cumsum(dm) - 1
+            pred_boxes = boxes[i][dm]
+            if input_sizes is not None:  # rescale to original coords
+                pred_boxes = pred_boxes * _scale(rec, input_sizes[i])
+            evaluator.add_image(
+                rec["boxes"], rec["labels"], rec["rel_tuples"], pred_boxes,
+                preds.obj_labels[i][dm], preds.obj_scores[i][dm],
+                remap[preds.pair_idx[i][pm]], preds.rel_scores[i][pm],
+            )
+        return
+    if kind == "sgdet":
+        preds = preds_out
+        for i, rec in enumerate(recs):
+            dm = preds.det_mask[i]
+            pm = preds.pair_mask[i]
+            if dm.sum() == 0 or pm.sum() == 0:
+                continue
+            remap = np.cumsum(dm) - 1
+            pred_boxes = preds.boxes[i][dm]
+            if input_sizes is not None:
+                pred_boxes = pred_boxes * _scale(rec, input_sizes[i])
+            evaluator.add_image(
+                rec["boxes"], rec["labels"], rec["rel_tuples"], pred_boxes,
+                preds.obj_labels[i][dm], preds.obj_scores[i][dm],
+                remap[preds.pair_idx[i][pm]], preds.rel_scores[i][pm],
+            )
+        return
+    preds = preds_out
+    for i, rec in enumerate(recs):
+        n = len(rec["boxes"])
+        pm = preds.pair_mask[i]
+        evaluator.add_image(
+            rec["boxes"], rec["labels"], rec["rel_tuples"], rec["boxes"],
+            preds.obj_labels[i][:n], preds.obj_scores[i][:n],
+            preds.pair_idx[i][pm], preds.rel_scores[i][pm],
+        )
+
+
+def _scale(rec, input_size):
+    """(1, 4) multiplier mapping resized-image boxes → original coords
+    (reference vg_eval.py:50-58 resize-back)."""
+    ow, oh = rec.get("orig_size", (None, None))
+    if ow is None:
+        return np.ones((1, 4), np.float32)
+    iw, ih = float(input_size[0]), float(input_size[1])
+    return np.asarray([[ow / iw, oh / ih, ow / iw, oh / ih]], np.float32)
+
+
+def run_validation(cfg, model, state, val_gen, evaluator, eval_fn=None):
+    if eval_fn is None:
+        eval_fn = make_eval_fn(cfg, model)
+    step, kind = eval_fn
     evaluator.reset()
     for batch, recs in val_gen(max_iter=0):
-        preds = jax.device_get(eval_step(state, jax.tree.map(jnp.asarray, batch)))
-        for i, rec in enumerate(recs):
-            n = len(rec["boxes"])
-            pm = preds.pair_mask[i]
-            evaluator.add_image(
-                rec["boxes"], rec["labels"], rec["rel_tuples"], rec["boxes"],
-                preds.obj_labels[i][:n], preds.obj_scores[i][:n],
-                preds.pair_idx[i][pm], preds.rel_scores[i][pm],
-            )
+        batch = jax.tree.map(jnp.asarray, batch)
+        preds = jax.device_get(step(state, batch))
+        accumulate_eval(kind, preds, recs, evaluator,
+                        input_sizes=np.asarray(batch.sizes))
     return evaluator.aggregate()
 
 
@@ -177,28 +312,35 @@ def train(cfg, logger):
     rng = jax.random.PRNGKey(cfg.solver.seed)
     first_batch, _ = next(train_gen(max_iter=1))
     small = jax.tree.map(lambda x: jnp.asarray(x[:1]), first_batch)
-    pi = jnp.zeros((1, 8, 2), jnp.int32)
-    params = model.init(
-        rng, small.images, small.depth, small.boxes, small.box_mask,
-        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
-        train=False,
-    )["params"]
-    tx = make_optimizer(cfg.solver, params)
-    state = create_train_state(model, tx, rng, small)
-    n_params = sum(x.size for x in jax.tree.leaves(params))
+    variables = init_model(cfg, model, rng, small)
+    tx = make_optimizer(cfg.solver, variables["params"],
+                        frozen_prefixes=FROZEN_DETECTOR)
+    state = create_train_state(model, tx, rng, small, variables=variables)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     logger.info(f"model init: {n_params / 1e6:.2f}M params")
 
+    meet = build_meet_config(cfg)
     ndev = len(jax.devices())
     mesh = make_mesh(data=ndev, pair=1)
-    step_fn = shard_train_step(
-        make_train_step(
+    if cfg.relation.mode == "sgdet":
+        from veto_tpu.engine.train import make_sgdet_train_step
+
+        raw_step = make_sgdet_train_step(
             model, tx, cw,
             batch_size_per_image=cfg.relation.batch_size_per_image,
             positive_fraction=cfg.relation.positive_fraction,
-            mode=cfg.relation.mode, mesh=mesh,
-        ),
-        mesh,
-    )
+            num_sample_per_gt_rel=cfg.relation.num_sample_per_gt_rel,
+            require_overlap=cfg.relation.require_box_overlap,
+            mesh=mesh, meet=meet,
+        )
+    else:
+        raw_step = make_train_step(
+            model, tx, cw,
+            batch_size_per_image=cfg.relation.batch_size_per_image,
+            positive_fraction=cfg.relation.positive_fraction,
+            mode=cfg.relation.mode, mesh=mesh, meet=meet,
+        )
+    step_fn = shard_train_step(raw_step, mesh)
 
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
     state, extra = ckpt.restore(state)
@@ -214,6 +356,7 @@ def train(cfg, logger):
     evaluator = SGGEvaluator(
         mode=cfg.relation.mode, num_rel_classes=cfg.relation.num_classes
     )
+    eval_fn = None
 
     t_prev = time.time()
     for it, (batch, _) in enumerate(
@@ -241,7 +384,9 @@ def train(cfg, logger):
                 "num_decays": ctrl.num_decays,
             })
         if (it + 1) % cfg.solver.val_period == 0:
-            agg = run_validation(cfg, model, state, val_gen, evaluator)
+            if eval_fn is None:
+                eval_fn = make_eval_fn(cfg, model)
+            agg = run_validation(cfg, model, state, val_gen, evaluator, eval_fn)
             mr100 = agg["mR"][100]
             logger.info(f"validation @ {it + 1}: mR@100 {mr100:.4f}")
             writer.write(it + 1, {"val_mR100": mr100})

@@ -54,23 +54,30 @@ class TrainState:
     rng: jax.Array
 
 
-def create_train_state(model, tx, rng, sample_batch: SGGBatch) -> TrainState:
-    """Initialize parameters from a (tiny) sample batch."""
+def create_train_state(
+    model, tx, rng, sample_batch: SGGBatch, variables=None
+) -> TrainState:
+    """Initialize parameters from a (tiny) sample batch.
+
+    Pass pre-built ``variables`` (e.g. from ``init_all`` for sgdet so the
+    RPN/box-head params exist) to skip the default ``__call__`` init.
+    """
     b, n = sample_batch.boxes.shape[:2]
     pair_idx = jnp.zeros((b, 8, 2), jnp.int32)
     pair_mask = jnp.ones((b, 8), bool)
-    variables = model.init(
-        rng,
-        sample_batch.images,
-        sample_batch.depth,
-        sample_batch.boxes,
-        sample_batch.box_mask,
-        sample_batch.labels,
-        sample_batch.obj_logits,
-        pair_idx,
-        pair_mask,
-        train=False,
-    )
+    if variables is None:
+        variables = model.init(
+            rng,
+            sample_batch.images,
+            sample_batch.depth,
+            sample_batch.boxes,
+            sample_batch.box_mask,
+            sample_batch.labels,
+            sample_batch.obj_logits,
+            pair_idx,
+            pair_mask,
+            train=False,
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -82,6 +89,29 @@ def create_train_state(model, tx, rng, sample_batch: SGGBatch) -> TrainState:
     )
 
 
+def _rel_out(out):
+    """Predictor relation output: (B, P, C) array (VETO/legacy) or the MEET
+    nested per-expert/per-group tuple."""
+    for name in ("rel_logits", "rel_dists", "group_logits"):
+        v = getattr(out, name, None)
+        if v is not None:
+            return v
+    raise AttributeError("no relation logits on predictor output")
+
+
+def _rel_losses(meet, cw, step_rng, rel_logits, labels, mask):
+    """Relation loss dict: plain weighted CE, or MEET routed group CEs."""
+    if meet is None:
+        return {"rel_loss": weighted_ce_loss(rel_logits, labels, mask, cw)}
+    from veto_tpu.models.relation.predictor_meet import meet_losses
+
+    return meet_losses(
+        jax.random.fold_in(step_rng, 1), rel_logits, labels, mask,
+        jnp.asarray(meet.incre_idx), jnp.asarray(meet.sample_rate),
+        meet.group_sizes,
+    )
+
+
 def make_train_step(
     model,
     tx,
@@ -90,6 +120,7 @@ def make_train_step(
     positive_fraction: float = 0.25,
     mode: str = "predcls",
     mesh: Optional[Mesh] = None,
+    meet=None,
 ) -> Callable[[TrainState, SGGBatch, jnp.ndarray], tuple]:
     """Build the jitted train step: (state, batch, lr_scale) → (state, metrics)."""
     cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
@@ -131,10 +162,9 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            rel_loss = weighted_ce_loss(
-                out.rel_logits, samples.labels, samples.mask, cw
+            losses = _rel_losses(
+                meet, cw, step_rng, _rel_out(out), samples.labels, samples.mask
             )
-            losses = {"rel_loss": rel_loss}
             if mode != "predcls":
                 obj_loss = weighted_ce_loss(
                     out.obj_dists, batch.labels, batch.box_mask, None
@@ -198,6 +228,97 @@ def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls"):
     return eval_step
 
 
+def make_meet_eval_step(
+    model, meet, max_pairs: int = 2048, mode: str = "predcls",
+    later_nms_thres: float = 0.3, require_overlap: bool = False,
+):
+    """MEET ensemble eval step for all three modes.
+
+    Returns (MeetPrediction batch, final boxes (B, N, 4), det_mask (B, N)) —
+    boxes are GT boxes in the gt-box modes, per-class regressed picks in
+    sgdet (reference inference.py:93-397 ensemble branches).
+    """
+    from veto_tpu.models.relation.predictor_meet import (
+        postprocess_meet_single,
+        postprocess_meet_voting,
+    )
+    from veto_tpu.ops.nms import obj_prediction_nms
+
+    num_rel = len(meet.incre_idx)
+    group_sizes = meet.group_sizes
+    voting = meet.experts_per_group == 3
+
+    def _post(group_logits, obj_labels, obj_scores, pair_idx, pair_mask):
+        if voting:
+            return postprocess_meet_voting(
+                group_logits, obj_labels, obj_scores, pair_idx, pair_mask,
+                group_sizes, num_rel, voting=meet.voting,
+            )
+        return postprocess_meet_single(
+            group_logits[0], obj_labels, obj_scores, pair_idx, pair_mask,
+            group_sizes, num_rel,
+        )
+
+    def eval_step(state: TrainState, batch: SGGBatch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if mode == "sgdet":
+            sizes = batch.sizes.astype(jnp.float32)
+            det = model.apply(variables, batch.images, sizes, method="detect")
+            dets = det.detections
+            pair_idx, pair_mask = jax.vmap(
+                lambda m, s, bx: prepare_test_pairs(
+                    m, s, bx, max_pairs=max_pairs,
+                    require_overlap=require_overlap,
+                )
+            )(dets.mask, dets.scores, dets.boxes)
+            out = model.apply(
+                variables, det.features, batch.depth, dets.boxes, dets.mask,
+                dets.labels, det.predict_logits, pair_idx, pair_mask,
+                train=False, method="relate",
+            )
+            glogits = out.group_logits
+            obj_labels = jax.vmap(
+                lambda b, lg, m: obj_prediction_nms(
+                    b, lg, later_nms_thres, valid_mask=m
+                )
+            )(dets.boxes_per_cls, out.obj_dists, dets.mask)
+            obj_prob = jax.nn.softmax(out.obj_dists.astype(jnp.float32), -1)
+            obj_prob = obj_prob.at[..., 0].set(0.0)
+            obj_scores = jnp.take_along_axis(
+                obj_prob, obj_labels[..., None], axis=-1
+            )[..., 0]
+            boxes = jnp.take_along_axis(
+                dets.boxes_per_cls,
+                obj_labels[..., None, None].repeat(4, -1).astype(jnp.int32),
+                axis=2,
+            )[:, :, 0]
+            det_mask = dets.mask
+        else:
+            scores = jnp.where(batch.box_mask, 1.0, 0.0)
+            pair_idx, pair_mask = jax.vmap(
+                lambda m, s, bx: prepare_test_pairs(m, s, bx, max_pairs=max_pairs)
+            )(batch.box_mask, scores, batch.boxes)
+            fwd = model.apply(
+                variables, batch.images, batch.depth, batch.boxes,
+                batch.box_mask, batch.labels, batch.obj_logits,
+                pair_idx, pair_mask, train=False,
+            )
+            out_obj = jax.nn.softmax(fwd.obj_dists.astype(jnp.float32), -1)
+            out_obj = out_obj.at[..., 0].set(0.0)
+            obj_scores = jnp.max(out_obj[..., 1:], axis=-1)
+            obj_labels = (jnp.argmax(out_obj[..., 1:], axis=-1) + 1).astype(jnp.int32)
+            boxes = batch.boxes
+            det_mask = batch.box_mask
+            glogits = fwd.rel_logits
+
+        preds = jax.vmap(_post)(
+            glogits, obj_labels, obj_scores, pair_idx, pair_mask
+        )
+        return preds, boxes, det_mask
+
+    return eval_step
+
+
 def make_sgdet_train_step(
     model,
     tx,
@@ -207,6 +328,7 @@ def make_sgdet_train_step(
     num_sample_per_gt_rel: int = 4,
     require_overlap: bool = False,
     mesh: Optional[Mesh] = None,
+    meet=None,
 ):
     """sgdet train step: frozen detection cascade → pair sampling → relation.
 
@@ -245,25 +367,35 @@ def make_sgdet_train_step(
             batch.box_mask, dets.boxes, gt_labels, dets.scores, dets.mask,
         )
 
+        # legacy context models teacher-force GT-assigned labels; VETO embeds
+        # the box head's NMS-reduced pred_labels (predictors differ here)
+        legacy = getattr(model, "predictor", "") in getattr(
+            model, "LEGACY_PREDICTORS", ()
+        )
+        embed_labels = gt_labels if legacy else dets.labels
+
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 det.features, batch.depth, dets.boxes, dets.mask,
-                dets.labels, det.predict_logits,
+                embed_labels, det.predict_logits,
                 samples.pair_idx, samples.mask,
                 train=True, mutable=["batch_stats"], method="relate",
+                image_sizes=sizes, boxes_per_cls=dets.boxes_per_cls,
+                pred_labels=dets.labels,
             )
-            rel_loss = weighted_ce_loss(
-                out.rel_logits, samples.labels, samples.mask, cw
+            losses = _rel_losses(
+                meet, cw, step_rng, _rel_out(out), samples.labels, samples.mask
             )
-            # reference obj_loss: CE(one_hot(pred_labels), gt_labels) — a
-            # constant w.r.t. params (roi_relation_predictors.py:4129-4133);
-            # logged for parity, contributes no gradient.
-            obj_loss = weighted_ce_loss(
-                jax.lax.stop_gradient(out.obj_dists), gt_labels, dets.mask, None
+            # obj refine loss on GT-assigned labels.  For VETO obj_dists are
+            # one-hot (roi_relation_predictors.py:4129-4133) so this is a
+            # constant; for legacy predictors the refined logits train the
+            # context (TransformerContext.out_obj / Motifs DecoderRNN).
+            losses["obj_loss"] = weighted_ce_loss(
+                out.obj_dists, gt_labels, dets.mask, None
             )
-            losses = {"rel_loss": rel_loss, "obj_loss": obj_loss}
-            return rel_loss + obj_loss, (losses, mutated["batch_stats"])
+            total = sum(losses.values())
+            return total, (losses, mutated["batch_stats"])
 
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -309,13 +441,15 @@ def make_sgdet_eval_step(
             variables, det.features, batch.depth, dets.boxes, dets.mask,
             dets.labels, det.predict_logits, pair_idx, pair_mask,
             train=False, method="relate",
+            image_sizes=sizes, boxes_per_cls=dets.boxes_per_cls,
+            pred_labels=dets.labels,
         )
         return jax.vmap(
             lambda rl, od, pi, pm, bpc, dm: postprocess_relations_sgdet(
                 rl, od, pi, pm, bpc, dm, later_nms_thres=later_nms_thres
             )
         )(
-            out.rel_logits, out.obj_dists, pair_idx, pair_mask,
+            _rel_out(out), out.obj_dists, pair_idx, pair_mask,
             dets.boxes_per_cls, dets.mask,
         )
 

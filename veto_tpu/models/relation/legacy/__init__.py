@@ -1,0 +1,15 @@
+"""Legacy relation-predictor zoo (Scene-Graph-Benchmark / PySGG lineage).
+
+Each predictor plugs into the same relation-head interface as VETO
+(SURVEY.md §2.5 "legacy predictor zoo"), consuming per-proposal 4096-d box
+features + per-pair union features instead of the VETO mini 8x8 maps.
+"""
+
+from .context import PairwiseFeatureExtractor, TransformerContext
+from .predictors import (
+    IMPPredictor,
+    LegacyOutput,
+    MotifPredictor,
+    TransformerPredictor,
+    VCTreePredictor,
+)

@@ -1,0 +1,468 @@
+"""Legacy relation predictors: Transformer, IMP, Motifs (+VCTree later).
+
+Re-designs of the reference zoo (roi_relation_predictors.py):
+  * TransformerPredictor (:57-207) — TransformerContext + union-gated heads.
+  * IMPPredictor (:207-322) — iterative GRU message passing (IMPContext,
+    model_msg_passing.py:14-109) over the proposal/pair bipartite graph.
+  * MotifPredictor (:995-1152) — neural-motifs biLSTM context
+    (model_motifs.py LSTMContext:224-420 + DecoderRNN:58-223).
+
+All operate on the padded batched layout: (B, N) proposals with 4096-d
+pooled features, (B, P) pairs with union features.  The per-image loops of
+the reference become gathers/segment-sums; torch PackedSequence sorting
+becomes an explicit center-x permutation (lstm.centerx_perm).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from veto_tpu.ops.nms import obj_prediction_nms
+
+from ..freq_bias import FrequencyBias
+from .context import PairwiseFeatureExtractor, TransformerContext
+from .lstm import HighwayDecoderLSTM, MaskedBiLSTM, centerx_perm
+
+
+class LegacyOutput(NamedTuple):
+    obj_dists: jnp.ndarray   # (B, N, num_obj) refined object logits
+    rel_dists: jnp.ndarray   # (B, P, num_rel)
+    obj_preds: jnp.ndarray   # (B, N) refined object labels
+
+
+def _gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis over the proposal axis; idx (B, P)."""
+    shape = idx.shape + (1,) * (x.ndim - 2)
+    return jnp.take_along_axis(x, idx.reshape(shape).astype(jnp.int32), axis=1)
+
+
+class TransformerPredictor(nn.Module):
+    """Self-attention context + union-gated relation head (:57-207)."""
+
+    num_obj_classes: int = 151
+    num_rel_classes: int = 51
+    embed_dim: int = 200
+    hidden_dim: int = 512
+    pooling_dim: int = 4096
+    in_channels: int = 4096
+    obj_layers: int = 4
+    edge_layers: int = 2
+    heads: int = 8
+    inner_dim: int = 2048
+    k_dim: int = 64
+    v_dim: int = 64
+    mode: str = "predcls"
+    use_vision: bool = True
+    use_bias: bool = False
+    embed_init: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        boxes: jnp.ndarray,           # (B, N, 4)
+        box_mask: jnp.ndarray,        # (B, N)
+        obj_labels: jnp.ndarray,      # (B, N) GT (predcls/train) or pred labels
+        predict_logits: jnp.ndarray,  # (B, N, num_obj)
+        pair_idx: jnp.ndarray,        # (B, P, 2)
+        pair_mask: jnp.ndarray,       # (B, P)
+        roi_features: jnp.ndarray,    # (B, N, D)
+        union_features: jnp.ndarray,  # (B, P, D)
+        image_sizes: jnp.ndarray,     # (B, 2)
+        boxes_per_cls: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> LegacyOutput:
+        cdt = self.dtype
+        obj_dists, obj_preds, edge_ctx = TransformerContext(
+            num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
+            hidden_dim=self.hidden_dim, obj_layers=self.obj_layers,
+            edge_layers=self.edge_layers, heads=self.heads,
+            inner_dim=self.inner_dim, k_dim=self.k_dim, v_dim=self.v_dim,
+            mode=self.mode, embed_init=self.embed_init, dtype=cdt,
+            name="context_layer",
+        )(roi_features, boxes, box_mask, obj_labels, predict_logits,
+          image_sizes, boxes_per_cls, train)
+
+        # head/tail split (:157-162)
+        edge_rep = nn.Dense(
+            self.hidden_dim * 2, dtype=cdt,
+            kernel_init=nn.initializers.normal(10.0 * self.hidden_dim ** -0.5),
+            name="post_emb",
+        )(edge_ctx)
+        head = edge_rep[..., : self.hidden_dim]
+        tail = edge_rep[..., self.hidden_dim:]
+        prod_rep = jnp.concatenate(
+            [_gather(head, pair_idx[..., 0]), _gather(tail, pair_idx[..., 1])],
+            -1,
+        )
+        ctx_gate = nn.Dense(
+            self.pooling_dim, dtype=cdt,
+            kernel_init=nn.initializers.xavier_uniform(), name="post_cat",
+        )(prod_rep)
+
+        if self.use_vision:
+            uf = union_features.astype(cdt)
+            if self.pooling_dim != self.in_channels:
+                uf = nn.Dense(
+                    self.pooling_dim, dtype=cdt,
+                    kernel_init=nn.initializers.xavier_uniform(), name="up_dim",
+                )(uf)
+            visual_rep = ctx_gate * uf
+        else:
+            visual_rep = ctx_gate
+
+        rel_dists = nn.Dense(
+            self.num_rel_classes, dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(), name="rel_compress",
+        )(visual_rep) + nn.Dense(
+            self.num_rel_classes, dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(), name="ctx_compress",
+        )(prod_rep)
+
+        if self.use_bias:
+            pair_pred = jnp.stack(
+                [
+                    _gather(obj_preds[..., None], pair_idx[..., 0])[..., 0],
+                    _gather(obj_preds[..., None], pair_idx[..., 1])[..., 0],
+                ],
+                -1,
+            )
+            rel_dists = rel_dists + FrequencyBias(
+                num_obj_classes=self.num_obj_classes,
+                num_rel_classes=self.num_rel_classes, name="freq_bias",
+            )(pair_pred)
+        return LegacyOutput(obj_dists, rel_dists, obj_preds)
+
+
+class IMPPredictor(nn.Module):
+    """Iterative message passing (:207-322, model_msg_passing.py:14-109)."""
+
+    num_obj_classes: int = 151
+    num_rel_classes: int = 51
+    hidden_dim: int = 512
+    pooling_dim: int = 4096
+    in_channels: int = 4096
+    num_iter: int = 3
+    mode: str = "predcls"
+    use_bias: bool = True
+    embed_init: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        predict_logits: jnp.ndarray,
+        pair_idx: jnp.ndarray,
+        pair_mask: jnp.ndarray,
+        roi_features: jnp.ndarray,
+        union_features: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        boxes_per_cls: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        pred_labels: Optional[jnp.ndarray] = None,
+    ) -> LegacyOutput:
+        cdt = self.dtype
+        b, n = box_mask.shape
+        p = pair_mask.shape[1]
+        h = self.hidden_dim
+        if pred_labels is None:
+            pred_labels = obj_labels
+
+        aug_obj, rel_feats = PairwiseFeatureExtractor(
+            num_obj_classes=self.num_obj_classes, hidden_dim=h,
+            pooling_dim=self.pooling_dim, in_channels=self.in_channels,
+            mode=self.mode, embed_init=self.embed_init, dtype=cdt,
+            name="pairwise_feature_extractor",
+        )(roi_features, union_features, boxes, box_mask, obj_labels,
+          predict_logits, pred_labels, pair_idx, image_sizes, train)
+
+        obj_rep = nn.Dense(h, dtype=cdt, name="obj_unary")(aug_obj)
+        rel_rep = nn.relu(nn.Dense(h, dtype=cdt, name="edge_unary")(rel_feats))
+
+        node_gru = nn.GRUCell(h, dtype=cdt, name="node_gru")
+        edge_gru = nn.GRUCell(h, dtype=cdt, name="edge_gru")
+        gates = {
+            name: nn.Dense(1, dtype=cdt, name=name)
+            for name in ("sub_vert_w_fc", "obj_vert_w_fc",
+                         "out_edge_w_fc", "in_edge_w_fc")
+        }
+
+        si = pair_idx[..., 0]
+        oi = pair_idx[..., 1]
+        pm = pair_mask[..., None].astype(cdt)
+
+        flat_obj = obj_rep.reshape(b * n, h)
+        flat_rel = rel_rep.reshape(b * p, h)
+        hx_obj = jnp.zeros_like(flat_obj)
+        hx_rel = jnp.zeros_like(flat_rel)
+        vert, _ = node_gru(hx_obj, flat_obj)
+        edge, _ = edge_gru(hx_rel, flat_rel)
+        vert = vert.reshape(b, n, h)
+        edge = edge.reshape(b, p, h)
+
+        def seg_sum(vals, idx):
+            return jax.vmap(
+                lambda v, i: jax.ops.segment_sum(v, i.astype(jnp.int32), n)
+            )(vals, idx)
+
+        for _ in range(self.num_iter):
+            sub_vert = _gather(vert, si)
+            obj_vert = _gather(vert, oi)
+            w_sub = jax.nn.sigmoid(
+                gates["sub_vert_w_fc"](jnp.concatenate([sub_vert, edge], -1))
+            )
+            w_obj = jax.nn.sigmoid(
+                gates["obj_vert_w_fc"](jnp.concatenate([obj_vert, edge], -1))
+            )
+            edge_msg = (w_sub * sub_vert + w_obj * obj_vert) * pm
+            new_edge, _ = edge_gru(
+                edge.reshape(b * p, h), edge_msg.reshape(b * p, h)
+            )
+            pre_out = jax.nn.sigmoid(
+                gates["out_edge_w_fc"](jnp.concatenate([sub_vert, edge], -1))
+            ) * edge * pm
+            pre_in = jax.nn.sigmoid(
+                gates["in_edge_w_fc"](jnp.concatenate([obj_vert, edge], -1))
+            ) * edge * pm
+            vert_ctx = seg_sum(pre_out, si) + seg_sum(pre_in, oi)
+            new_vert, _ = node_gru(
+                vert.reshape(b * n, h), vert_ctx.reshape(b * n, h)
+            )
+            vert = new_vert.reshape(b, n, h)
+            edge = new_edge.reshape(b, p, h)
+
+        if self.mode == "predcls":
+            obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes,
+                                       dtype=jnp.float32)
+        else:
+            obj_dists = nn.Dense(self.num_obj_classes, dtype=jnp.float32,
+                                 name="obj_classifier")(vert)
+        rel_dists = nn.Dense(self.num_rel_classes, dtype=jnp.float32,
+                             name="rel_classifier")(edge)
+        obj_preds = jnp.argmax(obj_dists, axis=-1).astype(jnp.int32)
+
+        if self.use_bias:
+            pair_pred = jnp.stack(
+                [
+                    _gather(obj_preds[..., None], si)[..., 0],
+                    _gather(obj_preds[..., None], oi)[..., 0],
+                ],
+                -1,
+            )
+            rel_dists = rel_dists + FrequencyBias(
+                num_obj_classes=self.num_obj_classes,
+                num_rel_classes=self.num_rel_classes, name="freq_bias",
+            )(pair_pred)
+        return LegacyOutput(obj_dists, rel_dists, obj_preds)
+
+
+class LSTMContext(nn.Module):
+    """Motifs biLSTM object/edge context (model_motifs.py:224-420)."""
+
+    num_obj_classes: int = 151
+    embed_dim: int = 200
+    hidden_dim: int = 512
+    obj_layers: int = 1
+    edge_layers: int = 1
+    mode: str = "predcls"
+    later_nms_thres: float = 0.3
+    embed_init: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        roi_features: jnp.ndarray,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        predict_logits: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        boxes_per_cls: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        from veto_tpu.ops.box_ops import encode_box_info
+
+        cdt = self.dtype
+        init = (
+            nn.initializers.normal(1.0)
+            if self.embed_init is None
+            else lambda *_: jnp.asarray(self.embed_init)
+        )
+        embed1 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                          embedding_init=init, dtype=cdt, name="obj_embed1")
+        embed2 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                          embedding_init=init, dtype=cdt, name="obj_embed2")
+
+        if self.mode == "predcls":
+            obj_embed = embed1(obj_labels)
+        else:
+            probs = jax.nn.softmax(predict_logits.astype(jnp.float32), -1)
+            obj_embed = probs.astype(cdt) @ embed1.embedding.astype(cdt)
+
+        binfo = encode_box_info(boxes, image_sizes).astype(cdt)
+        g = nn.Dense(32, dtype=cdt, name="pos_fc1")(binfo)
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.999,
+                         dtype=cdt, name="pos_bn")(g)
+        g = nn.relu(nn.Dense(128, dtype=cdt, name="pos_fc2")(g))
+
+        obj_pre = jnp.concatenate([roi_features.astype(cdt), obj_embed, g], -1)
+
+        perm, inv = jax.vmap(centerx_perm)(boxes, box_mask)
+        sort = lambda x: _gather(x, perm)  # noqa: E731
+        unsort = lambda x: _gather(x, inv)  # noqa: E731
+        sorted_pre = sort(obj_pre)
+        sorted_mask = jnp.take_along_axis(box_mask, perm, axis=1)
+
+        enc = MaskedBiLSTM(self.hidden_dim, self.obj_layers, dtype=cdt,
+                           name="obj_ctx_rnn")(sorted_pre, sorted_mask)
+        enc = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_obj_h")(enc)
+
+        if self.mode == "predcls":
+            obj_preds = obj_labels
+            obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes,
+                                       dtype=jnp.float32)
+        else:
+            dec_inp = jnp.concatenate([sorted_pre, enc], -1)
+            sorted_labels = (
+                jnp.take_along_axis(obj_labels, perm, axis=1) if train else None
+            )
+            logits_sorted, refined_sorted = HighwayDecoderLSTM(
+                num_obj_classes=self.num_obj_classes,
+                embed_dim=self.embed_dim, hidden=self.hidden_dim,
+                dtype=cdt, name="decoder_rnn",
+            )(dec_inp, sorted_mask, sorted_labels, train)
+            obj_dists = unsort(logits_sorted)
+            obj_preds = jnp.take_along_axis(refined_sorted, inv, axis=1)
+            if self.mode == "sgdet" and not train:
+                bpc = (
+                    boxes_per_cls
+                    if boxes_per_cls is not None
+                    else jnp.broadcast_to(
+                        boxes[:, :, None, :],
+                        boxes.shape[:2] + (self.num_obj_classes, 4),
+                    )
+                )
+                # decoder post-NMS relabel (model_motifs.py:204-219):
+                # unconditional overwrite, bg column at 0
+                obj_preds = jax.vmap(
+                    lambda bx, lg, m: obj_prediction_nms(
+                        bx, lg, self.later_nms_thres, valid_mask=m,
+                        overwrite=True, bg_init=0.0,
+                    )
+                )(bpc, obj_dists, box_mask)
+
+        obj_ctx = unsort(enc)
+        edge_pre = jnp.concatenate(
+            [embed2(obj_preds), roi_features.astype(cdt), obj_ctx], -1
+        )
+        edge_enc = MaskedBiLSTM(self.hidden_dim, self.edge_layers, dtype=cdt,
+                                name="edge_ctx_rnn")(sort(edge_pre), sorted_mask)
+        edge_enc = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_edge_h")(edge_enc)
+        edge_ctx = unsort(edge_enc)
+        return obj_dists, obj_preds, edge_ctx
+
+
+class MotifPredictor(nn.Module):
+    """Neural-motifs predictor (:995-1152)."""
+
+    num_obj_classes: int = 151
+    num_rel_classes: int = 51
+    embed_dim: int = 200
+    hidden_dim: int = 512
+    pooling_dim: int = 4096
+    in_channels: int = 4096
+    mode: str = "predcls"
+    use_vision: bool = True
+    use_bias: bool = True
+    embed_init: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        predict_logits: jnp.ndarray,
+        pair_idx: jnp.ndarray,
+        pair_mask: jnp.ndarray,
+        roi_features: jnp.ndarray,
+        union_features: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        boxes_per_cls: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> LegacyOutput:
+        cdt = self.dtype
+        obj_dists, obj_preds, edge_ctx = LSTMContext(
+            num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
+            hidden_dim=self.hidden_dim, mode=self.mode,
+            embed_init=self.embed_init, dtype=cdt, name="context_layer",
+        )(roi_features, boxes, box_mask, obj_labels, predict_logits,
+          image_sizes, boxes_per_cls, train)
+
+        edge_rep = nn.Dense(
+            self.hidden_dim * 2, dtype=cdt,
+            kernel_init=nn.initializers.normal(10.0 * self.hidden_dim ** -0.5),
+            name="post_emb",
+        )(edge_ctx)
+        head = edge_rep[..., : self.hidden_dim]
+        tail = edge_rep[..., self.hidden_dim:]
+        prod_rep = jnp.concatenate(
+            [_gather(head, pair_idx[..., 0]), _gather(tail, pair_idx[..., 1])],
+            -1,
+        )
+        prod_rep = nn.Dense(
+            self.pooling_dim, dtype=cdt,
+            kernel_init=nn.initializers.xavier_uniform(), name="post_cat",
+        )(prod_rep)
+
+        if self.use_vision:
+            uf = union_features.astype(cdt)
+            if self.pooling_dim != self.in_channels:
+                uf = nn.Dense(
+                    self.pooling_dim, dtype=cdt,
+                    kernel_init=nn.initializers.xavier_uniform(), name="up_dim",
+                )(uf)
+            prod_rep = prod_rep * uf
+
+        rel_dists = nn.Dense(
+            self.num_rel_classes, dtype=jnp.float32, name="rel_compress"
+        )(prod_rep)
+
+        if self.use_bias:
+            pair_pred = jnp.stack(
+                [
+                    _gather(obj_preds[..., None], pair_idx[..., 0])[..., 0],
+                    _gather(obj_preds[..., None], pair_idx[..., 1])[..., 0],
+                ],
+                -1,
+            )
+            rel_dists = rel_dists + FrequencyBias(
+                num_obj_classes=self.num_obj_classes,
+                num_rel_classes=self.num_rel_classes, name="freq_bias",
+            )(pair_pred)
+        return LegacyOutput(obj_dists, rel_dists, obj_preds)
+
+
+class VCTreePredictor(nn.Module):
+    """Placeholder registration — VCTree lands with the tree-LSTM pass.
+
+    The reference VCTreePredictor (:1441-1580, model_vctree.py) builds a
+    dynamic binary tree per image from pairwise scores and runs a TreeLSTM
+    over it; the TPU re-design (static-depth tree as parent-pointer arrays)
+    is tracked for a later milestone.
+    """
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "VCTreePredictor is not yet implemented in veto_tpu"
+        )

@@ -92,11 +92,17 @@ class VetoPredictorOutput(NamedTuple):
     obj_dists: jnp.ndarray           # (B, N, num_obj) one-hot or refined logits
 
 
-class VetoPredictor(nn.Module):
-    """Relation logits from proposals + pooled 8x8 visual/depth maps."""
+class VetoTrunk(nn.Module):
+    """Shared VETO feature trunk: embeddings → pair tokens → transformer.
+
+    Produces the per-pair CLS feature consumed by the single ``rel_out``
+    head (VetoPredictor) or the MEET per-group heads (MeetPredictor).
+    ``hard_label_embed`` selects the MEET Ensemble's class-embedding variant
+    (roi_relation_predictors.py:3784 — Embedding lookup of the hard label
+    instead of the softmax-weighted embedding at :4100).
+    """
 
     num_obj_classes: int = 151
-    num_rel_classes: int = 51
     embed_dim: int = 200
     dim: int = 576
     layers: int = 6
@@ -105,6 +111,7 @@ class VetoPredictor(nn.Module):
     depth_proj_dim: int = 512
     visual_proj_dim: int = 64
     mode: str = "predcls"  # predcls | sgcls | sgdet
+    hard_label_embed: bool = False
     dtype: Any = jnp.float32
     remat: bool = True
 
@@ -120,7 +127,7 @@ class VetoPredictor(nn.Module):
         roi_features: jnp.ndarray,   # (B, N, 8, 8, C) pooled RGB maps
         depth_features: jnp.ndarray,  # (B, N, 8, 8, C) pooled depth maps
         train: bool = False,
-    ) -> VetoPredictorOutput:
+    ) -> jnp.ndarray:
         b, n = boxes.shape[:2]
         p = pair_idx.shape[1]
         cdt = self.dtype
@@ -128,13 +135,11 @@ class VetoPredictor(nn.Module):
         # ---- per-proposal class embedding (:4086-4100)
         embed_tbl = nn.Embed(self.num_obj_classes, self.embed_dim,
                              dtype=cdt, name="obj_embed")
-        if self.mode == "predcls":
+        if self.mode == "predcls" or self.hard_label_embed:
             obj_embed = embed_tbl(obj_labels)
-            obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes, dtype=jnp.float32)
         else:
             probs = jax.nn.softmax(obj_logits.astype(jnp.float32), axis=-1)
             obj_embed = (probs.astype(cdt) @ embed_tbl.embedding.astype(cdt))
-            obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes, dtype=jnp.float32)
 
         # ---- per-proposal position embedding (:4042-4047, :4102)
         cxywh = center_xywh(xyxy_to_xywh(boxes)).astype(cdt)
@@ -195,11 +200,55 @@ class VetoPredictor(nn.Module):
             loc_tok.reshape(b * p, self.dim),
             cls_tok.reshape(b * p, self.dim),
         )
-        rel_feat = flat_cls.reshape(b, p, self.dim)
+        return flat_cls.reshape(b, p, self.dim)
+
+
+class VetoPredictor(nn.Module):
+    """Relation logits from proposals + pooled 8x8 visual/depth maps."""
+
+    num_obj_classes: int = 151
+    num_rel_classes: int = 51
+    embed_dim: int = 200
+    dim: int = 576
+    layers: int = 6
+    heads: int = 6
+    patch_size: int = 2
+    depth_proj_dim: int = 512
+    visual_proj_dim: int = 64
+    mode: str = "predcls"  # predcls | sgcls | sgdet
+    dtype: Any = jnp.float32
+    remat: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        obj_logits: jnp.ndarray,
+        pair_idx: jnp.ndarray,
+        pair_mask: jnp.ndarray,
+        roi_features: jnp.ndarray,
+        depth_features: jnp.ndarray,
+        train: bool = False,
+    ) -> VetoPredictorOutput:
+        rel_feat = VetoTrunk(
+            num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
+            dim=self.dim, layers=self.layers, heads=self.heads,
+            patch_size=self.patch_size, depth_proj_dim=self.depth_proj_dim,
+            visual_proj_dim=self.visual_proj_dim, mode=self.mode,
+            dtype=self.dtype, remat=self.remat, name="trunk",
+        )(
+            boxes, box_mask, obj_labels, obj_logits, pair_idx, pair_mask,
+            roi_features, depth_features, train=train,
+        )
         rel_logits = nn.Dense(
             self.num_rel_classes, dtype=jnp.float32,
             kernel_init=nn.initializers.xavier_uniform(), name="rel_out",
         )(rel_feat)
+        obj_dists = jax.nn.one_hot(
+            obj_labels, self.num_obj_classes, dtype=jnp.float32
+        )
         return VetoPredictorOutput(rel_logits=rel_logits, obj_dists=obj_dists)
 
 

@@ -44,6 +44,7 @@ from .detector.box_head import (
     box_postprocess,
 )
 from .detector.rpn import RPNHead, flatten_level, rpn_select_proposals
+from .relation.predictor_meet import MeetPredictor
 from .relation.predictor_veto import VetoPredictor, VetoPredictorOutput
 
 
@@ -94,7 +95,19 @@ class SGGModel(nn.Module):
     pooler_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125)
     pooler_sampling_ratio: int = 2
     depth_scale: float = 0.0625
+    # relation predictor selection (reference ROI_RELATION_PREDICTOR registry)
+    predictor: str = "VETOPredictor"
+    # MEET ensemble (None = plain VETOPredictor)
+    meet_group_sizes: Optional[Tuple[int, ...]] = None
+    meet_experts: int = 1
+    # legacy-predictor hyperparams (CONTEXT_HIDDEN_DIM / CONTEXT_POOLING_DIM)
+    context_hidden_dim: int = 512
+    context_pooling_dim: int = 4096
     dtype: Any = jnp.bfloat16
+
+    LEGACY_PREDICTORS = (
+        "TransformerPredictor", "IMPPredictor", "MotifPredictor",
+    )
 
     def setup(self):
         self.backbone = ResNetFPNBackbone(
@@ -112,12 +125,58 @@ class SGGModel(nn.Module):
         self.box_predictor = BoxPredictor(
             num_classes=self.num_obj_classes, dtype=self.dtype
         )
-        self.relation = VetoPredictor(
-            num_obj_classes=self.num_obj_classes,
-            num_rel_classes=self.num_rel_classes,
-            mode=self.mode,
-            dtype=self.dtype,
-        )
+        if self.predictor in self.LEGACY_PREDICTORS:
+            from .relation.legacy import (
+                IMPPredictor,
+                MotifPredictor,
+                TransformerPredictor,
+            )
+            from .relation.union_features import UnionFeatureExtractor
+
+            cls = {
+                "TransformerPredictor": TransformerPredictor,
+                "IMPPredictor": IMPPredictor,
+                "MotifPredictor": MotifPredictor,
+            }[self.predictor]
+            kwargs = dict(
+                num_obj_classes=self.num_obj_classes,
+                num_rel_classes=self.num_rel_classes,
+                hidden_dim=self.context_hidden_dim,
+                pooling_dim=self.context_pooling_dim,
+                in_channels=self.context_pooling_dim,
+                mode=self.mode,
+                dtype=self.dtype,
+            )
+            self.relation = cls(**kwargs)
+            # trainable relation copy of the box MLP (reference
+            # make_roi_box_feature_extractor(..., for_relation=True))
+            self.rel_box_extractor = BoxFeatureExtractor(
+                mlp_dim=self.context_pooling_dim, dtype=self.dtype
+            )
+            self.union_extractor = UnionFeatureExtractor(
+                pooler_resolution=self.box_pooler_resolution,
+                pooler_scales=self.pooler_scales,
+                pooler_sampling_ratio=self.pooler_sampling_ratio,
+                mlp_dim=self.context_pooling_dim,
+                in_channels=self.fpn_channels,
+                dtype=self.dtype,
+            )
+        elif self.meet_group_sizes is not None:
+            self.relation = MeetPredictor(
+                group_sizes=self.meet_group_sizes,
+                experts_per_group=self.meet_experts,
+                num_obj_classes=self.num_obj_classes,
+                num_rel_classes=self.num_rel_classes,
+                mode=self.mode,
+                dtype=self.dtype,
+            )
+        else:
+            self.relation = VetoPredictor(
+                num_obj_classes=self.num_obj_classes,
+                num_rel_classes=self.num_rel_classes,
+                mode=self.mode,
+                dtype=self.dtype,
+            )
 
     # ------------------------------------------------------------------
     # shared stages
@@ -208,7 +267,31 @@ class SGGModel(nn.Module):
         pair_idx: jnp.ndarray,
         pair_mask: jnp.ndarray,
         train: bool = False,
-    ) -> VetoPredictorOutput:
+        image_sizes: Optional[jnp.ndarray] = None,
+        boxes_per_cls: Optional[jnp.ndarray] = None,
+        pred_labels: Optional[jnp.ndarray] = None,
+    ):
+        if self.predictor in self.LEGACY_PREDICTORS:
+            # legacy path: 7x7 box MLP features + union features, no depth
+            # (reference relation_head.py:140-190 non-VETO branch)
+            if image_sizes is None:
+                h, w = depth.shape[1:3]
+                image_sizes = jnp.tile(
+                    jnp.asarray([[w, h]], jnp.float32), (boxes.shape[0], 1)
+                )
+            pooled = self._pool_boxes(feats, boxes, self.box_pooler_resolution)
+            roi_vec = self.rel_box_extractor(pooled)
+            union = self.union_extractor(
+                feats, boxes, pair_idx, image_sizes, train=train
+            )
+            kwargs = {}
+            if self.predictor == "IMPPredictor":
+                kwargs["pred_labels"] = pred_labels
+            return self.relation(
+                boxes, box_mask, obj_labels, obj_logits, pair_idx, pair_mask,
+                roi_vec, union, image_sizes, boxes_per_cls, train=train,
+                **kwargs,
+            )
         depth_feat = self.depth_backbone(depth, train=train)
         roi_feats = self._pool_boxes(feats, boxes, self.pooler_resolution)
         depth_roi = jax.vmap(
@@ -259,12 +342,30 @@ class SGGModel(nn.Module):
             pred_labels = obj_labels
             rel_labels_in = obj_labels
 
+        if self.predictor in self.LEGACY_PREDICTORS:
+            # legacy context models embed GT labels at train and refine
+            # their own predictions; feed GT labels + box-head logits
+            out = self.relate(
+                feats, depth, boxes, box_mask, obj_labels, predict_logits,
+                pair_idx, pair_mask, train=train, pred_labels=pred_labels,
+            )
+            return SGGForward(
+                rel_logits=out.rel_dists,
+                obj_dists=out.obj_dists,
+                pred_labels=out.obj_preds,
+                predict_logits=predict_logits,
+            )
         out = self.relate(
             feats, depth, boxes, box_mask, rel_labels_in, predict_logits,
             pair_idx, pair_mask, train=train,
         )
+        # MEET returns nested per-expert/per-group logits; plain VETO a
+        # single (B, P, C) array — both ride the same pytree slot.
+        rel = getattr(out, "rel_logits", None)
+        if rel is None:
+            rel = out.group_logits
         return SGGForward(
-            rel_logits=out.rel_logits,
+            rel_logits=rel,
             obj_dists=out.obj_dists,
             pred_labels=pred_labels,
             predict_logits=predict_logits,

@@ -143,6 +143,8 @@ def obj_prediction_nms(
     pred_logits: jnp.ndarray,    # (N, C)
     nms_thresh: float = 0.3,
     valid_mask: jnp.ndarray | None = None,
+    overwrite: bool = False,
+    bg_init: float | None = None,
 ) -> jnp.ndarray:
     """Global-argmax label assignment NMS (utils_relation.py:94-130).
 
@@ -151,10 +153,19 @@ def obj_prediction_nms(
     class for all boxes whose class-c IoU with it exceeds ``nms_thresh`` and
     retires the chosen box.  Returns per-box predicted labels (N,) int32
     (0 = background / never assigned).
+
+    ``overwrite=True`` selects the nms_per_cls variant used by the context
+    models (model_transformer.py:297-316, Ensemble :3855-3874): the bg
+    column starts at -1 instead of 0 and each pick overwrites the label
+    unconditionally.  ``bg_init`` overrides the bg column's initial value
+    (the Motifs DecoderRNN post-NMS, model_motifs.py:204-219, overwrites
+    labels but keeps bg at 0).
     """
     n, c = pred_logits.shape
     prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
-    prob = prob.at[:, 0].set(0.0)
+    if bg_init is None:
+        bg_init = -1.0 if overwrite else 0.0
+    prob = prob.at[:, 0].set(bg_init)
     if valid_mask is not None:
         prob = jnp.where(valid_mask[:, None], prob, -1.0)
 
@@ -172,9 +183,12 @@ def obj_prediction_nms(
         prob_s, labels = state
         flat = jnp.argmax(prob_s)
         box_ind, cls_ind = flat // c, flat % c
-        labels = jnp.where(
-            labels[box_ind] > 0, labels, labels.at[box_ind].set(cls_ind)
-        )
+        if overwrite:
+            labels = labels.at[box_ind].set(cls_ind)
+        else:
+            labels = jnp.where(
+                labels[box_ind] > 0, labels, labels.at[box_ind].set(cls_ind)
+            )
         suppress = is_overlap[box_ind, :, cls_ind]
         col = prob_s[:, cls_ind]
         prob_s = prob_s.at[:, cls_ind].set(jnp.where(suppress, 0.0, col))
