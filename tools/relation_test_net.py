@@ -64,11 +64,23 @@ def main():
     evaluator = SGGEvaluator(
         mode=cfg.relation.mode, num_rel_classes=cfg.relation.num_classes
     )
+    coco = None
+    if cfg.relation.mode == "sgdet":
+        from veto_tpu.evaluation.coco_map import CocoMapEvaluator
+
+        coco = CocoMapEvaluator(num_classes=cfg.model.num_obj_classes)
     for batch, recs in gen(max_iter=0):
         batch = jax.tree.map(jnp.asarray, batch)
         preds = jax.device_get(step(state, batch))
         accumulate_eval(kind, preds, recs, evaluator,
-                        input_sizes=np.asarray(batch.sizes))
+                        input_sizes=np.asarray(batch.sizes),
+                        coco_evaluator=coco)
+    if coco is not None:
+        det = coco.aggregate()
+        logger.info(
+            f"detection mAP {det['mAP']:.4f}  AP50 {det['AP50']:.4f}  "
+            f"AP75 {det['AP75']:.4f}"
+        )
     logger.info("\n" + evaluator.summary_string())
     agg = evaluator.aggregate()
     out = {

@@ -43,9 +43,28 @@ def build_dataset(cfg, split: str):
             max_objects=min(cfg.data.max_boxes, 16) - 1,
             seed=cfg.solver.seed + (0 if split == "train" else 7),
         )
+    d = cfg.data.data_dir
+    if "GQA" in cfg.data.dataset:
+        from veto_tpu.data.gqa import GQADataset
+
+        return GQADataset(
+            split,
+            dict_file=os.path.join(d, "GQA_200_ID_Info.json"),
+            train_file=os.path.join(d, "GQA_200_Train.json"),
+            test_file=os.path.join(d, "GQA_200_Test.json"),
+            img_dir=os.path.join(d, "images"),
+            depth_img_dir=os.path.join(d, "depth") if cfg.data.use_depth else None,
+            num_val_im=cfg.data.num_val_images,
+            filter_duplicate_rels=cfg.data.filter_duplicate_relations,
+            resampling=(
+                {"repeat_factor": cfg.data.repeat_factor,
+                 "instance_drop_rate": cfg.data.instance_drop_rate}
+                if cfg.data.resampling and split == "train" else None
+            ),
+            seed=cfg.solver.seed,
+        )
     from veto_tpu.data.visual_genome import VGDataset
 
-    d = cfg.data.data_dir
     return VGDataset(
         split,
         roidb_file=os.path.join(d, "VG-SGG-with-attri.h5"),
@@ -213,8 +232,12 @@ def make_eval_fn(cfg, model):
     return jax.jit(make_eval_step(model, max_pairs=mp)), "gtbox"
 
 
-def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None):
-    """Feed one batch of padded predictions into the NumPy evaluator."""
+def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None,
+                    coco_evaluator=None):
+    """Feed one batch of padded predictions into the NumPy evaluator(s).
+
+    ``coco_evaluator`` (sgdet only) additionally collects detections for the
+    COCO bbox mAP pass (reference vg_eval.py:67-182)."""
     if kind == "meet":
         preds, boxes, det_mask = preds_out
         for i, rec in enumerate(recs):
@@ -248,6 +271,11 @@ def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None):
                 preds.obj_labels[i][dm], preds.obj_scores[i][dm],
                 remap[preds.pair_idx[i][pm]], preds.rel_scores[i][pm],
             )
+            if coco_evaluator is not None:
+                coco_evaluator.add_image(
+                    rec["boxes"], rec["labels"], pred_boxes,
+                    preds.obj_labels[i][dm], preds.obj_scores[i][dm],
+                )
         return
     preds = preds_out
     for i, rec in enumerate(recs):
@@ -313,6 +341,13 @@ def train(cfg, logger):
     first_batch, _ = next(train_gen(max_iter=1))
     small = jax.tree.map(lambda x: jnp.asarray(x[:1]), first_batch)
     variables = init_model(cfg, model, rng, small)
+    if cfg.model.pretrained_detector_ckpt:
+        from veto_tpu.utils.torch_import import import_detector_weights
+
+        new_params, _, _ = import_detector_weights(
+            variables["params"], cfg.model.pretrained_detector_ckpt, logger
+        )
+        variables = dict(variables, params=jax.tree.map(jnp.asarray, new_params))
     tx = make_optimizer(cfg.solver, variables["params"],
                         frozen_prefixes=FROZEN_DETECTOR)
     state = create_train_state(model, tx, rng, small, variables=variables)

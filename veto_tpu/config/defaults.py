@@ -98,6 +98,9 @@ class DetectorConfig:
     """Backbone / RPN / box-head settings (subset of MODEL.*)."""
 
     backbone: str = "R-101-FPN"
+    # torch checkpoint of the pretrained detector (reference
+    # MODEL.PRETRAINED_DETECTOR_CKPT_VG / _GQA, VETO_final.yaml:4-5)
+    pretrained_detector_ckpt: str = ""
     stage_blocks: Tuple[int, ...] = (3, 4, 23, 3)  # R-101; R-50 = (3,4,6,3)
     resnet_groups: int = 32  # ResNeXt 32x8d (reference defaults.py:613-616)
     resnet_width_per_group: int = 8

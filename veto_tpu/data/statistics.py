@@ -24,6 +24,36 @@ def compute_pred_dist(fg_matrix: np.ndarray, bg_matrix: np.ndarray, eps: float =
     return pred_dist.astype(np.float32)
 
 
+def co_occurrence_matrices(dataset, must_overlap: bool = True) -> Dict:
+    """fg predicate co-occurrence + overlap-pair bg matrix over a dataset
+    exposing gt_classes/gt_boxes/relationships/ind_to_* (the shared core of
+    get_VG_statistics :380-413 and get_GQA_statistics)."""
+    from veto_tpu.evaluation.sgg_eval import np_iou
+
+    num_obj = len(dataset.ind_to_classes)
+    num_rel = len(dataset.ind_to_predicates)
+    fg = np.zeros((num_obj, num_obj, num_rel), np.int64)
+    bg = np.zeros((num_obj, num_obj), np.int64)
+    for i in range(len(dataset.img_info)):
+        cls = dataset.gt_classes[i]
+        rels = dataset.relationships[i]
+        boxes = dataset.gt_boxes[i]
+        for s, o, p in rels:
+            fg[cls[s], cls[o], p] += 1
+        iou = np_iou(boxes, boxes)
+        overlap = (iou > 0) & ~np.eye(len(boxes), dtype=bool)
+        if not overlap.any() or not must_overlap:
+            overlap = ~np.eye(len(boxes), dtype=bool)
+        for s, o in np.argwhere(overlap):
+            bg[cls[s], cls[o]] += 1
+    return {
+        "fg_matrix": fg,
+        "bg_matrix": bg,
+        "obj_classes": dataset.ind_to_classes,
+        "rel_classes": dataset.ind_to_predicates,
+    }
+
+
 def get_dataset_statistics(dataset, output_dir: str, name: str = "VG") -> Dict:
     cache = os.path.join(output_dir, f"{name}_statistics.cache.npz")
     if os.path.exists(cache):

@@ -298,27 +298,6 @@ class VGDataset:
     def get_statistics(self, must_overlap: bool = True):
         """fg predicate co-occurrence + overlap-pair bg matrix
         (get_VG_statistics, visual_genome.py:380-413)."""
-        from veto_tpu.evaluation.sgg_eval import np_iou
+        from .statistics import co_occurrence_matrices
 
-        num_obj = len(self.ind_to_classes)
-        num_rel = len(self.ind_to_predicates)
-        fg = np.zeros((num_obj, num_obj, num_rel), np.int64)
-        bg = np.zeros((num_obj, num_obj), np.int64)
-        for i in range(len(self.img_info)):
-            cls = self.gt_classes[i]
-            rels = self.relationships[i]
-            boxes = self.gt_boxes[i]
-            for s, o, p in rels:
-                fg[cls[s], cls[o], p] += 1
-            iou = np_iou(boxes, boxes)
-            overlap = (iou > 0) & ~np.eye(len(boxes), dtype=bool)
-            if not overlap.any() or not must_overlap:
-                overlap = ~np.eye(len(boxes), dtype=bool)
-            for s, o in np.argwhere(overlap):
-                bg[cls[s], cls[o]] += 1
-        return {
-            "fg_matrix": fg,
-            "bg_matrix": bg,
-            "obj_classes": self.ind_to_classes,
-            "rel_classes": self.ind_to_predicates,
-        }
+        return co_occurrence_matrices(self, must_overlap=must_overlap)
