@@ -206,6 +206,23 @@ class SGGModel(nn.Module):
         )
 
     # ------------------------------------------------------------------
+    # detector pretraining (no stop_gradient — the detector trains)
+    # ------------------------------------------------------------------
+    def detector_forward(self, images: jnp.ndarray):
+        """Trainable FPN features + raw RPN maps (detector_pretrain_net.py
+        path: RELATION_ON=False, RPN + box losses active)."""
+        feats = self.backbone(images)
+        obj_maps, reg_maps = self.rpn(feats)
+        return feats, obj_maps, reg_maps
+
+    def box_forward(self, feats, rois):
+        """Trainable box head on given rois → (class_logits, box_deltas)."""
+        pooled = self._pool_boxes(feats, rois, self.box_pooler_resolution)
+        x = self.box_extractor(pooled)
+        logits, deltas = self.box_predictor(x)
+        return logits.astype(jnp.float32), deltas.astype(jnp.float32)
+
+    # ------------------------------------------------------------------
     # sgdet detection cascade
     # ------------------------------------------------------------------
     def detect(

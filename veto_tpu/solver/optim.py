@@ -70,6 +70,14 @@ def make_optimizer(
     bias_lr = cfg.base_lr * cfg.bias_lr_factor * rl_factor
 
     def adam_group(lr: float, wd: float) -> optax.GradientTransformation:
+        if cfg.optimizer == "sgd":
+            # detector pretraining uses SGD+momentum (reference
+            # detector_pretrain_net.py / solver defaults)
+            return optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.trace(decay=cfg.momentum),
+                optax.scale(-lr),
+            )
         return optax.chain(
             optax.add_decayed_weights(wd) if wd else optax.identity(),
             optax.scale_by_adam(),
