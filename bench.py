@@ -1,15 +1,22 @@
 """Throughput benchmark: VETO PredCls training images/sec on one chip.
 
 Runs the flagship configuration (ResNeXt-101-FPN 32x8d backbone + depth R18
-+ VETO relation transformer, bf16 compute, 1024 sampled pairs/image — the
-shipped configs/VETO_final.yaml working set) on synthetic data and measures
-sustained TRAIN-step throughput on whatever single device is available.
++ VETO relation transformer, bf16 compute) at the shipped training shapes —
+800x1344 images, 80-box budget, 1024 sampled pairs/image
+(configs/VETO_final.yaml) — on synthetic data, and measures sustained
+TRAIN-step throughput on one device.
+
+Timing methodology: steps chain through the donated TrainState, and a
+device→host transfer of the final loss fences the whole chain — this is the
+only reliable sync on tunneled TPU runtimes where block_until_ready can
+return before remote execution finishes.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); its
-README-era setup is one 2080Ti-class GPU at batch 12 over 125k iterations —
-several days end-to-end, i.e. ~8-10 images/sec. We pin the baseline at
+README-era setup is one ~2080Ti-class GPU at batch 12 over 125k iterations —
+multiple days end-to-end, i.e. ~5-10 images/sec. We pin the baseline at
 10 img/s so `vs_baseline` is a conservative speedup estimate; the north-star
-target is >=5x on a v5e-8 (BASELINE.json).
+target is >=5x a single GPU on a v5e-8 (BASELINE.json), i.e. vs_baseline
+>= 0.63 per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,16 +26,15 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_IMG_PER_SEC = 10.0
 
-BATCH = 4
-IMAGE_HW = (512, 512)
-MAX_BOXES = 40
-PAIRS = 512
+BATCH = 8
+IMAGE_HW = (800, 1344)
+MAX_BOXES = 80
+PAIRS = 1024
 STEPS_WARMUP = 2
-STEPS_MEASURE = 8
+STEPS_MEASURE = 5
 
 
 def main():
@@ -66,12 +72,12 @@ def main():
 
     for _ in range(STEPS_WARMUP):
         state, metrics = step(state, batch, scale)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(jax.device_get(metrics["loss"]))  # fence
 
     t0 = time.perf_counter()
     for _ in range(STEPS_MEASURE):
         state, metrics = step(state, batch, scale)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(jax.device_get(metrics["loss"]))  # fences the whole chain
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * STEPS_MEASURE / dt

@@ -102,5 +102,7 @@ def test_multilevel_select(rng):
     # roi 0 assigned level 0, roi 1 level 3: outputs equal single-level pooling
     lvl0 = roi_align(jnp.asarray(feats[0]), jnp.asarray(rois[:1]), scales[0], 4)
     lvl3 = roi_align(jnp.asarray(feats[3]), jnp.asarray(rois[1:]), scales[3], 4)
-    np.testing.assert_allclose(out[0], lvl0[0], rtol=1e-5)
-    np.testing.assert_allclose(out[1], lvl3[0], rtol=1e-5)
+    # the flattened-pyramid gather reassociates float ops vs single-level
+    # pooling; equal within float32 noise
+    np.testing.assert_allclose(out[0], lvl0[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[1], lvl3[0], rtol=1e-5, atol=1e-6)

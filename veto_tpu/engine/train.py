@@ -99,6 +99,17 @@ def _rel_out(out):
     raise AttributeError("no relation logits on predictor output")
 
 
+def _binary_loss(bi_preds, binary_rel, box_mask):
+    """VCTree auxiliary pair-relatedness BCE (roi_relation_predictors.py
+    :1572-1578), masked mean over valid proposal pairs."""
+    y = (binary_rel > 0).astype(jnp.float32)
+    logits = bi_preds.astype(jnp.float32)
+    bce = (jnp.maximum(logits, 0) - logits * y
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    m2 = (box_mask[:, :, None] & box_mask[:, None, :]).astype(jnp.float32)
+    return (bce * m2).sum() / jnp.maximum(m2.sum(), 1.0)
+
+
 def _rel_losses(meet, cw, step_rng, rel_logits, labels, mask):
     """Relation loss dict: plain weighted CE, or MEET routed group CEs."""
     if meet is None:
@@ -165,6 +176,11 @@ def make_train_step(
             losses = _rel_losses(
                 meet, cw, step_rng, _rel_out(out), samples.labels, samples.mask
             )
+            bp = getattr(out, "binary_preds", None)
+            if bp is not None:
+                losses["binary_loss"] = _binary_loss(
+                    bp, samples.binary_rel, batch.box_mask
+                )
             if mode != "predcls":
                 obj_loss = weighted_ce_loss(
                     out.obj_dists, batch.labels, batch.box_mask, None
@@ -387,6 +403,11 @@ def make_sgdet_train_step(
             losses = _rel_losses(
                 meet, cw, step_rng, _rel_out(out), samples.labels, samples.mask
             )
+            bp = getattr(out, "binary_preds", None)
+            if bp is not None:
+                losses["binary_loss"] = _binary_loss(
+                    bp, samples.binary_rel, dets.mask
+                )
             # obj refine loss on GT-assigned labels.  For VETO obj_dists are
             # one-hot (roi_relation_predictors.py:4129-4133) so this is a
             # constant; for legacy predictors the refined logits train the

@@ -11,5 +11,5 @@ from .predictors import (
     LegacyOutput,
     MotifPredictor,
     TransformerPredictor,
-    VCTreePredictor,
 )
+from .vctree import VCTreePredictor

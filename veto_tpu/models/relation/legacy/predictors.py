@@ -33,6 +33,8 @@ class LegacyOutput(NamedTuple):
     obj_dists: jnp.ndarray   # (B, N, num_obj) refined object logits
     rel_dists: jnp.ndarray   # (B, P, num_rel)
     obj_preds: jnp.ndarray   # (B, N) refined object labels
+    # (B, N, N) pair-relatedness logits for VCTree's auxiliary binary loss
+    binary_preds: Optional[jnp.ndarray] = None
 
 
 def _gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -453,16 +455,3 @@ class MotifPredictor(nn.Module):
         return LegacyOutput(obj_dists, rel_dists, obj_preds)
 
 
-class VCTreePredictor(nn.Module):
-    """Placeholder registration — VCTree lands with the tree-LSTM pass.
-
-    The reference VCTreePredictor (:1441-1580, model_vctree.py) builds a
-    dynamic binary tree per image from pairwise scores and runs a TreeLSTM
-    over it; the TPU re-design (static-depth tree as parent-pointer arrays)
-    is tracked for a later milestone.
-    """
-
-    def __call__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "VCTreePredictor is not yet implemented in veto_tpu"
-        )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -36,19 +37,32 @@ class _SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        d_head = self.dim // self.heads
-        qkv = nn.Dense(3 * d_head * self.heads, use_bias=False, dtype=self.dtype,
+        d = self.dim
+        dh = d // self.heads
+        qkv = nn.Dense(3 * d, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(t.shape[:-1] + (self.heads, d_head)).swapaxes(-3, -2)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("...hid,...hjd->...hij", q, k) * (d_head ** -0.5)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hij,...hjd->...hid", attn, v)
-        out = out.swapaxes(-3, -2).reshape(x.shape[:-1] + (d_head * self.heads,))
+        # per-head lane slices instead of a head-axis transpose: on TPU the
+        # head split is a contiguous slice of the minor (lane) dimension, so
+        # no relayout copies are emitted; the unrolled head loop issues
+        # plainly-batched (N, T, dh) x (N, T, dh) matmuls.
+        scale = dh ** -0.5
+        outs = []
+        for h in range(self.heads):
+            q = qkv[..., h * dh:(h + 1) * dh]
+            k = qkv[..., d + h * dh:d + (h + 1) * dh]
+            v = qkv[..., 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    p, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
+            )
+        out = jnp.concatenate(outs, axis=-1)
         return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 

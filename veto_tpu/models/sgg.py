@@ -53,6 +53,7 @@ class SGGForward(NamedTuple):
     obj_dists: jnp.ndarray    # (B, N, num_obj) float32
     pred_labels: jnp.ndarray  # (B, N) int32 predicted object labels
     predict_logits: jnp.ndarray  # (B, N, num_obj) frozen box-head logits
+    binary_preds: Optional[jnp.ndarray] = None  # VCTree aux relatedness
 
 
 class DetectOutput(NamedTuple):
@@ -107,6 +108,7 @@ class SGGModel(nn.Module):
 
     LEGACY_PREDICTORS = (
         "TransformerPredictor", "IMPPredictor", "MotifPredictor",
+        "VCTreePredictor",
     )
 
     def setup(self):
@@ -130,6 +132,7 @@ class SGGModel(nn.Module):
                 IMPPredictor,
                 MotifPredictor,
                 TransformerPredictor,
+                VCTreePredictor,
             )
             from .relation.union_features import UnionFeatureExtractor
 
@@ -137,6 +140,7 @@ class SGGModel(nn.Module):
                 "TransformerPredictor": TransformerPredictor,
                 "IMPPredictor": IMPPredictor,
                 "MotifPredictor": MotifPredictor,
+                "VCTreePredictor": VCTreePredictor,
             }[self.predictor]
             kwargs = dict(
                 num_obj_classes=self.num_obj_classes,
@@ -371,6 +375,7 @@ class SGGModel(nn.Module):
                 obj_dists=out.obj_dists,
                 pred_labels=out.obj_preds,
                 predict_logits=predict_logits,
+                binary_preds=getattr(out, "binary_preds", None),
             )
         out = self.relate(
             feats, depth, boxes, box_mask, rel_labels_in, predict_logits,
