@@ -40,9 +40,15 @@ def resize_shape(
 def resize_image(image: np.ndarray, oh: int, ow: int) -> np.ndarray:
     """Bilinear resize (H, W, C) uint8/float → (oh, ow, C) float32.
 
-    PIL bilinear like the reference's F.resize when PIL is available; a
-    NumPy fallback keeps the pipeline dependency-free.
+    Fast path: the native C++ host op (veto_tpu/native/host_ops.cpp) — the
+    same PIL triangle-filter resampling, OpenMP-parallel.  Falls back to
+    PIL, then to pure NumPy, keeping the pipeline dependency-free.
     """
+    from veto_tpu import native
+
+    out = native.resize_bilinear(np.asarray(image, np.float32), oh, ow)
+    if out is not None:
+        return out
     try:
         from PIL import Image
 
