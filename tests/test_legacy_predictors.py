@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 
 from veto_tpu.models.relation.legacy import (
+    BGNNPredictor,
+    GPSNetPredictor,
     IMPPredictor,
     MotifPredictor,
     TransformerPredictor,
@@ -50,8 +52,10 @@ def inputs(request):
         (TransformerPredictor, {"embed_dim": 16}),
         (IMPPredictor, {}),
         (MotifPredictor, {"embed_dim": 16}),
+        (BGNNPredictor, {}),
+        (GPSNetPredictor, {}),
     ],
-    ids=["transformer", "imp", "motifs"],
+    ids=["transformer", "imp", "motifs", "bgnn", "gpsnet"],
 )
 def test_legacy_predictor_modes(inputs, mode, cls, extra):
     m = cls(num_obj_classes=NUM_OBJ, num_rel_classes=NUM_REL, hidden_dim=32,

@@ -12,4 +12,5 @@ from .predictors import (
     MotifPredictor,
     TransformerPredictor,
 )
+from .bgnn import BGNNPredictor, GPSNetPredictor
 from .vctree import VCTreePredictor

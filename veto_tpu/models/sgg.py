@@ -108,7 +108,7 @@ class SGGModel(nn.Module):
 
     LEGACY_PREDICTORS = (
         "TransformerPredictor", "IMPPredictor", "MotifPredictor",
-        "VCTreePredictor",
+        "VCTreePredictor", "BGNNPredictor", "GPSNetPredictor",
     )
 
     def setup(self):
@@ -129,6 +129,8 @@ class SGGModel(nn.Module):
         )
         if self.predictor in self.LEGACY_PREDICTORS:
             from .relation.legacy import (
+                BGNNPredictor,
+                GPSNetPredictor,
                 IMPPredictor,
                 MotifPredictor,
                 TransformerPredictor,
@@ -141,6 +143,8 @@ class SGGModel(nn.Module):
                 "IMPPredictor": IMPPredictor,
                 "MotifPredictor": MotifPredictor,
                 "VCTreePredictor": VCTreePredictor,
+                "BGNNPredictor": BGNNPredictor,
+                "GPSNetPredictor": GPSNetPredictor,
             }[self.predictor]
             kwargs = dict(
                 num_obj_classes=self.num_obj_classes,
