@@ -12,5 +12,5 @@ from .predictors import (
     MotifPredictor,
     TransformerPredictor,
 )
-from .bgnn import BGNNPredictor, GPSNetPredictor
+from .bgnn import BGNNPredictor, GPSNetPredictor, MSDNPredictor
 from .vctree import VCTreePredictor

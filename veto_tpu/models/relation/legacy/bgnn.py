@@ -378,3 +378,15 @@ class BGNNPredictor(nn.Module):
                 num_rel_classes=self.num_rel_classes, name="freq_bias",
             )(pair_pred)
         return LegacyOutput(obj_dists, rel_dists, obj_preds)
+
+
+class MSDNPredictor(BGNNPredictor):
+    """MSDN (roi_relation_predictors.py:322-514, model_msdn.py:20-449).
+
+    The reference MSDN context is the base bipartite gated message passing
+    — the same MessagePassingUnit_v1 / MessageFusion updates as BGNN with
+    the relation-confidence machinery absent, which is exactly what
+    :class:`BGNNPredictor` implements here (num_iter defaults likewise to
+    the GRAPH_ITERATION_NUM used by both).  Registered as its own predictor
+    name for config parity with the reference registry.
+    """

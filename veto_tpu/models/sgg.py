@@ -109,6 +109,7 @@ class SGGModel(nn.Module):
     LEGACY_PREDICTORS = (
         "TransformerPredictor", "IMPPredictor", "MotifPredictor",
         "VCTreePredictor", "BGNNPredictor", "GPSNetPredictor",
+        "MSDNPredictor",
     )
 
     def setup(self):
@@ -131,6 +132,7 @@ class SGGModel(nn.Module):
             from .relation.legacy import (
                 BGNNPredictor,
                 GPSNetPredictor,
+                MSDNPredictor,
                 IMPPredictor,
                 MotifPredictor,
                 TransformerPredictor,
@@ -145,6 +147,7 @@ class SGGModel(nn.Module):
                 "VCTreePredictor": VCTreePredictor,
                 "BGNNPredictor": BGNNPredictor,
                 "GPSNetPredictor": GPSNetPredictor,
+                "MSDNPredictor": MSDNPredictor,
             }[self.predictor]
             kwargs = dict(
                 num_obj_classes=self.num_obj_classes,
