@@ -341,3 +341,26 @@ class SGGEvaluator:
                 body = "; ".join(f"{name}@{k}: {v:.4f}" for k, v in sorted(vals.items()))
                 lines.append("  " + body)
         return "\n".join(lines)
+
+
+def compute_zeroshot_triplets(train_dataset, eval_dataset) -> np.ndarray:
+    """Derive the unseen-triplet set for zero-shot recall.
+
+    The reference ships a fixed ``zeroshot_triplet.pytorch`` tensor
+    (evaluation/vg/vg_eval.py use at :459-583); it is exactly the set of
+    (subject-class, object-class, predicate) triples that occur in the eval
+    split's ground truth but never in the training split.  This recomputes
+    that set from any pair of datasets exposing gt_classes/relationships.
+    """
+
+    def triplet_set(ds):
+        out = set()
+        for i in range(len(ds.img_info)):
+            cls = ds.gt_classes[i]
+            for s, o, p in ds.relationships[i]:
+                out.add((int(cls[int(s)]), int(cls[int(o)]), int(p)))
+        return out
+
+    seen = triplet_set(train_dataset)
+    unseen = sorted(triplet_set(eval_dataset) - seen)
+    return np.asarray(unseen, dtype=np.int64).reshape(-1, 3)
