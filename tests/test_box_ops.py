@@ -99,3 +99,59 @@ def test_resize_boxes():
     boxes = jnp.array([[10.0, 10.0, 20.0, 20.0]])
     out = box_ops.resize_boxes(boxes, jnp.array([100, 100]), jnp.array([200, 50]))
     np.testing.assert_allclose(out[0], [20, 5, 40, 10])
+
+
+# ----------------------------------------------------------------------
+# loss layers (veto_tpu/ops/losses.py)
+# ----------------------------------------------------------------------
+def test_sigmoid_focal_loss_matches_reference_cpu(rng):
+    import jax.numpy as jnp
+    from veto_tpu.ops.losses import sigmoid_focal_loss
+
+    n, c = 12, 5
+    logits = rng.randn(n, c).astype(np.float32)
+    targets = rng.randint(0, c + 1, n)
+    got = np.asarray(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+
+    # reference sigmoid_focal_loss_cpu (layers/sigmoid_focal_loss.py:40-58)
+    gamma, alpha = 2.0, 0.25
+    class_range = np.arange(1, c + 1)[None, :]
+    t = targets[:, None]
+    p = 1 / (1 + np.exp(-logits))
+    term1 = (1 - p) ** gamma * np.log(p)
+    term2 = p ** gamma * np.log(1 - p)
+    want = (
+        -(t == class_range).astype(np.float32) * term1 * alpha
+        - ((t != class_range) & (t >= 0)).astype(np.float32) * term2 * (1 - alpha)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_label_smoothing_and_entropy_and_kl(rng):
+    import jax.numpy as jnp
+    from veto_tpu.ops.losses import entropy_loss, kl_div_loss, label_smoothing_ce
+
+    logits = jnp.asarray(rng.randn(6, 4).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 4, 6))
+    ls = float(label_smoothing_ce(logits, targets, e=0.0))
+    # at e=0 equals plain CE
+    logp = np.asarray(jnp.log(jnp.exp(logits) / jnp.exp(logits).sum(-1, keepdims=True)))
+    want = -logp[np.arange(6), np.asarray(targets)].mean()
+    assert ls == pytest.approx(want, rel=1e-4)
+
+    p = jnp.asarray(np.full((3, 4), 0.25, np.float32))
+    assert float(entropy_loss(p)) == pytest.approx(4 * 0.25 * np.log(4), rel=1e-4)
+    assert float(kl_div_loss(p, p)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_learnable_balanced_norm(rng):
+    import jax
+    import jax.numpy as jnp
+    from veto_tpu.ops.losses import LearnableBalancedNorm
+
+    m = LearnableBalancedNorm(num_fg_classes=6)
+    logits = jnp.asarray(rng.randn(5, 7).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), logits)
+    out = np.asarray(m.apply(v, logits))
+    assert out.shape == (5, 7)
+    assert np.isfinite(out).all()
