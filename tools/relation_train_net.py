@@ -181,6 +181,8 @@ def build_model(cfg):
         meet_experts=meet.experts_per_group if meet else 1,
         context_hidden_dim=cfg.relation.context_hidden_dim,
         context_pooling_dim=cfg.relation.context_pooling_dim,
+        causal_effect_type=cfg.relation.causal_effect_type,
+        causal_fusion_type=cfg.relation.causal_fusion_type,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
 

@@ -82,6 +82,9 @@ class RelationConfig:
     beta: float = 0.999
     use_bias: bool = False
     label_smoothing: bool = False
+    # causal analysis (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
+    causal_effect_type: str = "none"  # none | TDE | NIE | TE
+    causal_fusion_type: str = "sum"   # sum | gate
     # post-processing
     later_nms_prediction_thres: float = 0.3
 

@@ -25,9 +25,7 @@ class FrequencyBias(nn.Module):
     pred_dist: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, pair_labels: jnp.ndarray) -> jnp.ndarray:
-        """pair_labels (..., 2) int → (..., num_rel) bias logits."""
+    def setup(self):
         n = self.num_obj_classes
 
         def init(key, shape, dtype=jnp.float32):
@@ -36,12 +34,25 @@ class FrequencyBias(nn.Module):
             table = np.log(np.asarray(self.pred_dist, np.float64) + 1e-12)
             return jnp.asarray(table.reshape(n * n, self.num_rel_classes), dtype)
 
-        baseline = self.param(
+        self.obj_baseline = self.param(
             "obj_baseline", init, (n * n, self.num_rel_classes)
         )
+
+    def __call__(self, pair_labels: jnp.ndarray) -> jnp.ndarray:
+        """pair_labels (..., 2) int → (..., num_rel) bias logits."""
+        n = self.num_obj_classes
         idx = pair_labels[..., 0].astype(jnp.int32) * n + pair_labels[..., 1].astype(jnp.int32)
-        return jnp.take(baseline, idx, axis=0).astype(jnp.float32)
+        return jnp.take(self.obj_baseline, idx, axis=0).astype(jnp.float32)
 
     def index_with_probability(self, pair_prob: jnp.ndarray) -> jnp.ndarray:
-        """Soft lookup (model_motifs.py:41-51): pair_prob (..., N, 2)."""
-        raise NotImplementedError("soft indexing used only by TDE; see CausalPredictor")
+        """Soft lookup (model_motifs.py:41-51): the joint subject/object
+        probability contracted with the bias table.
+
+        pair_prob: (..., num_obj, 2) — softmax class distributions of the
+        subject (channel 0) and object (channel 1).
+        """
+        n = self.num_obj_classes
+        w = self.obj_baseline.reshape(n, n, self.num_rel_classes).astype(jnp.float32)
+        ps = pair_prob[..., 0].astype(jnp.float32)
+        po = pair_prob[..., 1].astype(jnp.float32)
+        return jnp.einsum("...s,sor,...o->...r", ps, w, po)

@@ -13,4 +13,5 @@ from .predictors import (
     TransformerPredictor,
 )
 from .bgnn import BGNNPredictor, GPSNetPredictor, MSDNPredictor
+from .causal import CausalPredictor
 from .vctree import VCTreePredictor

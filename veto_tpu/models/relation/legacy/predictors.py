@@ -267,7 +267,13 @@ class IMPPredictor(nn.Module):
 
 
 class LSTMContext(nn.Module):
-    """Motifs biLSTM object/edge context (model_motifs.py:224-420)."""
+    """Motifs biLSTM object/edge context (model_motifs.py:224-420).
+
+    ``effect_analysis`` adds the Causal-TDE moving-average "untreated"
+    decoder-input buffer (model_motifs.py:292-300, stored in batch_stats so
+    the existing mutable plumbing carries it); ``ctx_average=True`` at eval
+    replaces the decoder input with that average (:330-333).
+    """
 
     num_obj_classes: int = 151
     embed_dim: int = 200
@@ -276,6 +282,8 @@ class LSTMContext(nn.Module):
     edge_layers: int = 1
     mode: str = "predcls"
     later_nms_thres: float = 0.3
+    effect_analysis: bool = False
+    average_ratio: float = 0.0005
     embed_init: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
 
@@ -290,6 +298,7 @@ class LSTMContext(nn.Module):
         image_sizes: jnp.ndarray,
         boxes_per_cls: Optional[jnp.ndarray] = None,
         train: bool = False,
+        ctx_average: bool = False,
     ):
         from veto_tpu.ops.box_ops import encode_box_info
 
@@ -328,12 +337,34 @@ class LSTMContext(nn.Module):
                            name="obj_ctx_rnn")(sorted_pre, sorted_mask)
         enc = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_obj_h")(enc)
 
+        dec_dim = sorted_pre.shape[-1] + enc.shape[-1]
+        if self.effect_analysis:
+            untreated = self.variable(
+                "batch_stats", "untreated_dcd_feat",
+                lambda: jnp.zeros((dec_dim,), jnp.float32),
+            )
+
         if self.mode == "predcls":
             obj_preds = obj_labels
             obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes,
                                        dtype=jnp.float32)
         else:
             dec_inp = jnp.concatenate([sorted_pre, enc], -1)
+            if self.effect_analysis:
+                if train and not self.is_initializing():
+                    m = sorted_mask.reshape(-1).astype(jnp.float32)
+                    mean = (
+                        dec_inp.reshape(-1, dec_dim).astype(jnp.float32)
+                        * m[:, None]
+                    ).sum(0) / jnp.maximum(m.sum(), 1.0)
+                    untreated.value = (
+                        untreated.value * (1 - self.average_ratio)
+                        + self.average_ratio * mean
+                    )
+                if ctx_average and not train:
+                    dec_inp = jnp.broadcast_to(
+                        untreated.value.astype(dec_inp.dtype), dec_inp.shape
+                    )
             sorted_labels = (
                 jnp.take_along_axis(obj_labels, perm, axis=1) if train else None
             )

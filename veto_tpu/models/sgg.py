@@ -109,8 +109,11 @@ class SGGModel(nn.Module):
     LEGACY_PREDICTORS = (
         "TransformerPredictor", "IMPPredictor", "MotifPredictor",
         "VCTreePredictor", "BGNNPredictor", "GPSNetPredictor",
-        "MSDNPredictor",
+        "MSDNPredictor", "CausalAnalysisPredictor",
     )
+    # causal predictor knobs (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
+    causal_effect_type: str = "none"
+    causal_fusion_type: str = "sum"
 
     def setup(self):
         self.backbone = ResNetFPNBackbone(
@@ -131,6 +134,7 @@ class SGGModel(nn.Module):
         if self.predictor in self.LEGACY_PREDICTORS:
             from .relation.legacy import (
                 BGNNPredictor,
+                CausalPredictor,
                 GPSNetPredictor,
                 MSDNPredictor,
                 IMPPredictor,
@@ -148,6 +152,7 @@ class SGGModel(nn.Module):
                 "BGNNPredictor": BGNNPredictor,
                 "GPSNetPredictor": GPSNetPredictor,
                 "MSDNPredictor": MSDNPredictor,
+                "CausalAnalysisPredictor": CausalPredictor,
             }[self.predictor]
             kwargs = dict(
                 num_obj_classes=self.num_obj_classes,
@@ -158,6 +163,9 @@ class SGGModel(nn.Module):
                 mode=self.mode,
                 dtype=self.dtype,
             )
+            if self.predictor == "CausalAnalysisPredictor":
+                kwargs["effect_type"] = self.causal_effect_type
+                kwargs["fusion_type"] = self.causal_fusion_type
             self.relation = cls(**kwargs)
             # trainable relation copy of the box MLP (reference
             # make_roi_box_feature_extractor(..., for_relation=True))
