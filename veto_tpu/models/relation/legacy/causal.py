@@ -32,8 +32,106 @@ from .context import _box_pair_info
 from .predictors import LSTMContext, LegacyOutput, _gather
 
 
+class VTransEContext(nn.Module):
+    """VTransEFeature (model_vtranse.py:12-108): a linear object classifier
+    over roi+embed+geometry features and a one-layer edge representation,
+    with Causal-TDE untreated buffers."""
+
+    num_obj_classes: int = 151
+    embed_dim: int = 200
+    hidden_dim: int = 512
+    mode: str = "predcls"
+    effect_analysis: bool = False
+    average_ratio: float = 0.0005
+    embed_init: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        roi_features: jnp.ndarray,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        predict_logits: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        boxes_per_cls: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        ctx_average: bool = False,
+    ):
+        from veto_tpu.ops.box_ops import encode_box_info
+
+        cdt = self.dtype
+        init = (
+            nn.initializers.normal(1.0)
+            if self.embed_init is None
+            else lambda *_: jnp.asarray(self.embed_init)
+        )
+        embed1 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                          embedding_init=init, dtype=cdt, name="obj_embed1")
+        embed2 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                          embedding_init=init, dtype=cdt, name="obj_embed2")
+        if self.mode == "predcls":
+            obj_embed = embed1(obj_labels)
+        else:
+            probs = jax.nn.softmax(predict_logits.astype(jnp.float32), -1)
+            obj_embed = probs.astype(cdt) @ embed1.embedding.astype(cdt)
+
+        binfo = encode_box_info(boxes, image_sizes).astype(cdt)
+        pos = nn.Dense(32, dtype=cdt, name="pos_fc1")(binfo)
+        pos = nn.BatchNorm(use_running_average=not train, momentum=0.999,
+                           dtype=cdt, name="pos_bn")(pos)
+        pos = nn.relu(nn.Dense(128, dtype=cdt, name="pos_fc2")(pos))
+
+        x = roi_features.astype(cdt)
+        obj_pre = jnp.concatenate([x, obj_embed, pos], -1)
+        d_obj = obj_pre.shape[-1]
+        d_edg = x.shape[-1] + 128
+
+        if self.effect_analysis:
+            u_obj = self.variable("batch_stats", "untreated_obj_feat",
+                                  lambda: jnp.zeros((d_obj,), jnp.float32))
+            u_edg = self.variable("batch_stats", "untreated_edg_feat",
+                                  lambda: jnp.zeros((d_edg,), jnp.float32))
+            if train and not self.is_initializing():
+                m = box_mask.reshape(-1).astype(jnp.float32)
+                cnt = jnp.maximum(m.sum(), 1.0)
+
+                def mavg(h, t):
+                    mean = (t.reshape(-1, t.shape[-1]).astype(jnp.float32)
+                            * m[:, None]).sum(0) / cnt
+                    return h * (1 - self.average_ratio) + self.average_ratio * mean
+
+                u_obj.value = mavg(u_obj.value, obj_pre)
+                u_edg.value = mavg(
+                    u_edg.value, jnp.concatenate([x, pos], -1)
+                )
+            if ctx_average and not train:
+                obj_pre = jnp.broadcast_to(
+                    u_obj.value.astype(cdt), obj_pre.shape
+                )
+
+        obj_dists = nn.Dense(self.num_obj_classes, dtype=jnp.float32,
+                             name="pred_layer")(obj_pre)
+        obj_preds = jnp.argmax(obj_dists, -1).astype(jnp.int32)
+
+        if self.effect_analysis and ctx_average and not train:
+            e2 = jax.nn.softmax(obj_dists, -1).astype(cdt) @ embed2.embedding.astype(cdt)
+            edge_pre = jnp.concatenate(
+                [jnp.broadcast_to(u_edg.value.astype(cdt),
+                                  obj_pre.shape[:-1] + (d_edg,)), e2], -1
+            )
+        else:
+            edge_pre = jnp.concatenate([x, pos, embed2(obj_preds)], -1)
+        edge_ctx = nn.relu(
+            nn.Dense(self.hidden_dim, dtype=cdt, name="fc_layer")(edge_pre)
+        )
+        return obj_dists, obj_preds, edge_ctx
+
+
 class CausalPredictor(nn.Module):
-    """CausalAnalysisPredictor with the Motifs context layer."""
+    """CausalAnalysisPredictor; ``context_layer`` selects motifs | vtranse
+    (CAUSAL.CONTEXT_LAYER, :3277-3286)."""
 
     num_obj_classes: int = 151
     num_rel_classes: int = 51
@@ -42,6 +140,7 @@ class CausalPredictor(nn.Module):
     pooling_dim: int = 4096
     in_channels: int = 4096
     mode: str = "predcls"
+    context_layer: str = "motifs"  # 'motifs' | 'vtranse'
     fusion_type: str = "sum"     # 'sum' | 'gate'
     effect_type: str = "none"    # 'none' | 'TDE' | 'NIE' | 'TE'
     spatial_for_vision: bool = True
@@ -81,12 +180,20 @@ class CausalPredictor(nn.Module):
         cdt = self.dtype
         effect = self.effect_type != "none" and not train
 
-        context = LSTMContext(
-            num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
-            hidden_dim=self.hidden_dim, mode=self.mode,
-            effect_analysis=self.effect_type != "none",
-            embed_init=self.embed_init, dtype=cdt, name="context_layer",
-        )
+        if self.context_layer == "vtranse":
+            context = VTransEContext(
+                num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
+                hidden_dim=self.hidden_dim, mode=self.mode,
+                effect_analysis=self.effect_type != "none",
+                embed_init=self.embed_init, dtype=cdt, name="context_layer",
+            )
+        else:
+            context = LSTMContext(
+                num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
+                hidden_dim=self.hidden_dim, mode=self.mode,
+                effect_analysis=self.effect_type != "none",
+                embed_init=self.embed_init, dtype=cdt, name="context_layer",
+            )
         ctx_args = (roi_features, boxes, box_mask, obj_labels, predict_logits,
                     image_sizes, boxes_per_cls)
 
