@@ -14,4 +14,5 @@ from .predictors import (
 )
 from .bgnn import BGNNPredictor, GPSNetPredictor, MSDNPredictor
 from .causal import CausalPredictor
+from .kern import KERNPredictor
 from .vctree import VCTreePredictor

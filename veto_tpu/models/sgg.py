@@ -109,7 +109,7 @@ class SGGModel(nn.Module):
     LEGACY_PREDICTORS = (
         "TransformerPredictor", "IMPPredictor", "MotifPredictor",
         "VCTreePredictor", "BGNNPredictor", "GPSNetPredictor",
-        "MSDNPredictor", "CausalAnalysisPredictor",
+        "MSDNPredictor", "CausalAnalysisPredictor", "KERNPredictor",
     )
     # causal predictor knobs (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
     causal_effect_type: str = "none"
@@ -135,6 +135,7 @@ class SGGModel(nn.Module):
             from .relation.legacy import (
                 BGNNPredictor,
                 CausalPredictor,
+                KERNPredictor,
                 GPSNetPredictor,
                 MSDNPredictor,
                 IMPPredictor,
@@ -153,6 +154,7 @@ class SGGModel(nn.Module):
                 "GPSNetPredictor": GPSNetPredictor,
                 "MSDNPredictor": MSDNPredictor,
                 "CausalAnalysisPredictor": CausalPredictor,
+                "KERNPredictor": KERNPredictor,
             }[self.predictor]
             kwargs = dict(
                 num_obj_classes=self.num_obj_classes,
