@@ -13,6 +13,7 @@ import pytest
 from veto_tpu.models.relation.legacy import (
     BGNNPredictor,
     GPSNetPredictor,
+    KERNPredictor,
     IMPPredictor,
     MotifPredictor,
     TransformerPredictor,
@@ -54,8 +55,9 @@ def inputs(request):
         (MotifPredictor, {"embed_dim": 16}),
         (BGNNPredictor, {}),
         (GPSNetPredictor, {}),
+        (KERNPredictor, {"embed_dim": 16}),
     ],
-    ids=["transformer", "imp", "motifs", "bgnn", "gpsnet"],
+    ids=["transformer", "imp", "motifs", "bgnn", "gpsnet", "kern"],
 )
 def test_legacy_predictor_modes(inputs, mode, cls, extra):
     m = cls(num_obj_classes=NUM_OBJ, num_rel_classes=NUM_REL, hidden_dim=32,
