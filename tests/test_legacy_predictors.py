@@ -16,7 +16,10 @@ from veto_tpu.models.relation.legacy import (
     KERNPredictor,
     IMPPredictor,
     MotifPredictor,
+    NaivePredictor,
+    RelatednessTestPredictor,
     TransformerPredictor,
+    TransLikePredictor,
 )
 from veto_tpu.models.relation.legacy.lstm import (
     HighwayDecoderLSTM,
@@ -51,13 +54,17 @@ def inputs(request):
     "cls,extra",
     [
         (TransformerPredictor, {"embed_dim": 16}),
+        (TransLikePredictor, {"embed_dim": 16}),
         (IMPPredictor, {}),
         (MotifPredictor, {"embed_dim": 16}),
         (BGNNPredictor, {}),
         (GPSNetPredictor, {}),
         (KERNPredictor, {"embed_dim": 16}),
+        (NaivePredictor, {}),
+        (RelatednessTestPredictor, {}),
     ],
-    ids=["transformer", "imp", "motifs", "bgnn", "gpsnet", "kern"],
+    ids=["transformer", "translike", "imp", "motifs", "bgnn", "gpsnet",
+         "kern", "naive", "relatedness"],
 )
 def test_legacy_predictor_modes(inputs, mode, cls, extra):
     m = cls(num_obj_classes=NUM_OBJ, num_rel_classes=NUM_REL, hidden_dim=32,
@@ -163,3 +170,41 @@ def test_sggmodel_legacy_integration():
     eval_step = jax.jit(make_eval_step(model, max_pairs=N * N))
     preds = jax.device_get(eval_step(state, batch))
     assert preds.rel_scores.shape[-1] == NUM_REL
+
+def test_relatedness_aux_loss_in_train_step():
+    """RelatednessTestPredictor emits relness logits and the train step adds
+    the auxiliary RelAwareLoss (roi_relation_predictors.py:2770-2780)."""
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import create_train_state, make_train_step
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(
+        num_obj_classes=NUM_OBJ, num_rel_classes=NUM_REL, mode="predcls",
+        predictor="RelatednessTestPredictor", stage_blocks=(1, 1, 1, 1),
+        groups=1, width_per_group=16, fpn_channels=32, context_hidden_dim=32,
+        context_pooling_dim=64, dtype=jnp.float32,
+    )
+    ds = SyntheticSGGDataset(
+        num_images=2, image_size=(64, 64), num_obj_classes=NUM_OBJ,
+        num_rel_classes=NUM_REL, max_objects=4, min_objects=3, seed=3,
+    )
+    batch, _ = next(ds.batches(batch_size=2, max_boxes=N))
+    batch = jax.tree.map(jnp.asarray, batch)
+    small = jax.tree.map(lambda x: x[:1], batch)
+    scfg = SolverConfig(base_lr=1e-3, ims_per_batch=2, scale_lr_by_batch=False,
+                        warmup_iters=0)
+    rng_ = jax.random.PRNGKey(0)
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    params = model.init(
+        rng_, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool), train=False,
+    )["params"]
+    assert "rel_pn_module" in params["relation"]
+    tx = make_optimizer(scfg, params)
+    state = create_train_state(model, tx, rng_, small)
+    step = jax.jit(make_train_step(model, tx, None, batch_size_per_image=16))
+    state, metrics = step(state, batch, jnp.asarray(1.0))
+    assert np.isfinite(float(metrics["pre_rel_classify_loss"]))
+    assert np.isfinite(float(metrics["rel_loss"]))

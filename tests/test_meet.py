@@ -267,3 +267,65 @@ def test_meet_end_to_end(experts):
         )
     agg = ev.aggregate()
     assert 0.0 <= agg["R"][100] <= 1.0
+
+@pytest.mark.parametrize("predictor", ["MotifPredictor", "TransLikePredictor"])
+def test_meet_legacy_end_to_end(predictor):
+    """Legacy *_MEET variants (MotifPredictor_MEET :1154-1441,
+    TransLikePredictor_MEET :1581-1828): per-group heads on the legacy
+    contexts ride the same routing/loss/postprocess machinery."""
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import (
+        create_train_state,
+        make_meet_eval_step,
+        make_train_step,
+    )
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    cfg = tiny_meet_cfg(experts=1)
+    model = SGGModel(
+        num_obj_classes=NUM_OBJ, num_rel_classes=NUM_REL, mode="predcls",
+        predictor=predictor, stage_blocks=(1, 1, 1, 1), groups=1,
+        width_per_group=16, fpn_channels=32, meet_group_sizes=GROUPS,
+        meet_experts=1, context_hidden_dim=32, context_pooling_dim=64,
+        dtype=jnp.float32,
+    )
+    ds = SyntheticSGGDataset(
+        num_images=2, image_size=IMG, num_obj_classes=NUM_OBJ,
+        num_rel_classes=NUM_REL, max_objects=MAX_BOXES - 2, min_objects=3,
+        max_relations=4, seed=12,
+    )
+    batch, recs = next(ds.batches(batch_size=2, max_boxes=MAX_BOXES))
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batch)
+    scfg = SolverConfig(base_lr=1e-3, ims_per_batch=2, scale_lr_by_batch=False,
+                        warmup_iters=0)
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    params = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
+        train=False,
+    )["params"]
+    # the MEET heads replaced the single classifier
+    rel_params = params["relation"]
+    assert "meet_heads" in rel_params
+    assert f"rel_out_e0_g{len(GROUPS) - 1}" in rel_params["meet_heads"]
+
+    tx = make_optimizer(scfg, params)
+    state = create_train_state(model, tx, rng, small)
+    step = jax.jit(
+        make_train_step(model, tx, None, batch_size_per_image=16, meet=cfg),
+        donate_argnums=(0,),
+    )
+    state, metrics = step(state, batch, jnp.asarray(1.0))
+    for k in range(len(GROUPS)):
+        assert np.isfinite(float(metrics[f"group_{k}1_CE_loss"]))
+
+    eval_step = jax.jit(
+        make_meet_eval_step(model, cfg, max_pairs=MAX_BOXES * MAX_BOXES)
+    )
+    preds, boxes, det_mask = jax.device_get(eval_step(state, batch))
+    assert preds.rel_scores.shape[-1] == NUM_REL
+    assert np.isfinite(preds.rel_scores[preds.pair_mask]).all()

@@ -150,8 +150,13 @@ def build_model(cfg):
 
     meet = build_meet_config(cfg)
     predictor = cfg.relation.predictor
-    if predictor == "VETOPredictor_MEET":
-        predictor = "VETOPredictor"  # selected via meet_group_sizes
+    if predictor.endswith("_MEET"):
+        # *_MEET registry names select the base predictor; the ensemble
+        # heads are switched on via meet_group_sizes (requires
+        # ensemble.enabled=true so build_meet_config returns the routing)
+        predictor = predictor[: -len("_MEET")]
+        if predictor == "TransLike":
+            predictor = "TransLikePredictor"
     return SGGModel(
         num_obj_classes=cfg.model.num_obj_classes,
         num_rel_classes=cfg.relation.num_classes,

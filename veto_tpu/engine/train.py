@@ -181,6 +181,16 @@ def make_train_step(
                 losses["binary_loss"] = _binary_loss(
                     bp, samples.binary_rel, batch.box_mask
                 )
+            rl = getattr(out, "relness_logits", None)
+            if rl is not None:
+                # RelatednessTestPredictor auxiliary RelAwareLoss
+                # (roi_relation_predictors.py:2770-2780)
+                from veto_tpu.models.relation.rel_proposal import (
+                    rel_aware_focal_loss,
+                )
+                losses["pre_rel_classify_loss"] = rel_aware_focal_loss(
+                    rl, samples.labels, samples.mask, model.num_rel_classes
+                )
             if mode != "predcls":
                 obj_loss = weighted_ce_loss(
                     out.obj_dists, batch.labels, batch.box_mask, None

@@ -5,14 +5,17 @@ Each predictor plugs into the same relation-head interface as VETO
 features + per-pair union features instead of the VETO mini 8x8 maps.
 """
 
-from .context import PairwiseFeatureExtractor, TransformerContext
+from .context import PairwiseFeatureExtractor, SHAContext, TransformerContext
 from .predictors import (
     IMPPredictor,
     LegacyOutput,
+    MeetRelHeads,
     MotifPredictor,
     TransformerPredictor,
+    TransLikePredictor,
 )
 from .bgnn import BGNNPredictor, GPSNetPredictor, MSDNPredictor
 from .causal import CausalPredictor
 from .kern import KERNPredictor
+from .naive import NaivePredictor, RelatednessTestPredictor
 from .vctree import VCTreePredictor

@@ -85,6 +85,168 @@ class MaskedEncoder(nn.Module):
         return x
 
 
+class _CrossMHA(nn.Module):
+    """Post-LN multi-head CROSS attention: queries from one stream, keys and
+    values from the other (utils_co_attention.py Cross_Attention_Encoder)."""
+
+    heads: int
+    d_model: int
+    d_k: int
+    d_v: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv, mask):
+        h, dk, dv = self.heads, self.d_k, self.d_v
+        b, n, _ = x.shape
+        q = nn.Dense(h * dk, dtype=self.dtype, name="w_qs")(x).reshape(b, n, h, dk)
+        k = nn.Dense(h * dk, dtype=self.dtype, name="w_ks")(kv).reshape(b, n, h, dk)
+        v = nn.Dense(h * dv, dtype=self.dtype, name="w_vs")(kv).reshape(b, n, h, dv)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(float(dk)).astype(self.dtype)
+        attn = jnp.where(mask[:, None, None, :], attn, -1e9)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, h * dv)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
+        return nn.LayerNorm(dtype=self.dtype, name="ln")(out + x)
+
+
+class SHAEncoder(nn.Module):
+    """Stacked hybrid self/cross attention over visual+textual streams
+    (hybrid_attention.py Single_Layer_Hybrid_Attention:63-82 + SHA_Encoder
+    :84-110): per layer each stream gets self-attention plus cross-attention
+    against the other, summed; the final visual output adds the textual."""
+
+    layers: int = 2
+    heads: int = 8
+    d_model: int = 512
+    d_inner: int = 2048
+    d_k: int = 64
+    d_v: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, vis, txt, mask):
+        m = mask[..., None].astype(vis.dtype)
+        for i in range(self.layers):
+            tsa = _MHA(self.heads, self.d_model, self.d_k, self.d_v,
+                       dtype=self.dtype, name=f"sa_txt{i}")(txt, mask)
+            tsa = _FFN(self.d_model, self.d_inner, dtype=self.dtype,
+                       name=f"sa_txt_ffn{i}")(tsa) * m
+            tca = _CrossMHA(self.heads, self.d_model, self.d_k, self.d_v,
+                            dtype=self.dtype, name=f"ca_txt{i}")(txt, vis, mask)
+            tca = _FFN(self.d_model, self.d_inner, dtype=self.dtype,
+                       name=f"ca_txt_ffn{i}")(tca) * m
+            vsa = _MHA(self.heads, self.d_model, self.d_k, self.d_v,
+                       dtype=self.dtype, name=f"sa_vis{i}")(vis, mask)
+            vsa = _FFN(self.d_model, self.d_inner, dtype=self.dtype,
+                       name=f"sa_vis_ffn{i}")(vsa) * m
+            vca = _CrossMHA(self.heads, self.d_model, self.d_k, self.d_v,
+                            dtype=self.dtype, name=f"ca_vis{i}")(vis, txt, mask)
+            vca = _FFN(self.d_model, self.d_inner, dtype=self.dtype,
+                       name=f"ca_vis_ffn{i}")(vca) * m
+            txt = tsa + tca
+            vis = vsa + vca
+        return vis + txt
+
+
+class SHAContext(nn.Module):
+    """SHA_Context (hybrid_attention.py:112-209): visual (roi+geometry) and
+    textual (class-embedding) streams fused by hybrid attention for both the
+    object and the edge stages."""
+
+    num_obj_classes: int = 151
+    embed_dim: int = 200
+    hidden_dim: int = 512
+    obj_layers: int = 4
+    edge_layers: int = 2
+    heads: int = 8
+    inner_dim: int = 2048
+    k_dim: int = 64
+    v_dim: int = 64
+    mode: str = "predcls"
+    later_nms_thres: float = 0.3
+    embed_init: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        roi_features: jnp.ndarray,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        predict_logits: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        boxes_per_cls: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        cdt = self.dtype
+        init = (
+            nn.initializers.normal(1.0)
+            if self.embed_init is None
+            else lambda *_: jnp.asarray(self.embed_init)
+        )
+        embed1 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                          embedding_init=init, dtype=cdt, name="obj_embed1")
+        embed2 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                          embedding_init=init, dtype=cdt, name="obj_embed2")
+        if self.mode == "predcls":
+            obj_embed = embed1(obj_labels)
+        else:
+            probs = jax.nn.softmax(predict_logits.astype(jnp.float32), -1)
+            obj_embed = probs.astype(cdt) @ embed1.embedding.astype(cdt)
+
+        binfo = encode_box_info(boxes, image_sizes).astype(cdt)
+        pos = nn.relu(nn.Dense(32, dtype=cdt, name="bbox_fc1")(binfo))
+        pos = nn.relu(nn.Dense(128, dtype=cdt, name="bbox_fc2")(pos))
+
+        vis = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_obj_visual")(
+            jnp.concatenate([roi_features.astype(cdt), pos], -1)
+        )
+        txt = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_obj_textual")(obj_embed)
+        obj_feats = SHAEncoder(
+            self.obj_layers, self.heads, self.hidden_dim, self.inner_dim,
+            self.k_dim, self.v_dim, dtype=cdt, name="context_obj",
+        )(vis, txt, box_mask)
+
+        if self.mode == "predcls":
+            obj_preds = obj_labels
+            obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes,
+                                       dtype=jnp.float32)
+            e2 = embed2(obj_labels)
+        else:
+            obj_dists = nn.Dense(self.num_obj_classes, dtype=jnp.float32,
+                                 name="out_obj")(obj_feats)
+            if self.mode == "sgdet" and not train:
+                bpc = (
+                    boxes_per_cls
+                    if boxes_per_cls is not None
+                    else jnp.broadcast_to(
+                        boxes[:, :, None, :],
+                        boxes.shape[:2] + (self.num_obj_classes, 4),
+                    )
+                )
+                obj_preds = jax.vmap(
+                    lambda b, lg, m: obj_prediction_nms(
+                        b, lg, self.later_nms_thres, valid_mask=m,
+                        overwrite=True,
+                    )
+                )(bpc, obj_dists, box_mask)
+            else:
+                obj_preds = (jnp.argmax(obj_dists[..., 1:], -1) + 1).astype(jnp.int32)
+            e2 = embed2(obj_preds)
+
+        edge_vis = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_edge_visual")(
+            jnp.concatenate([roi_features.astype(cdt), obj_feats], -1)
+        )
+        edge_txt = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_edge_textual")(e2)
+        edge_ctx = SHAEncoder(
+            self.edge_layers, self.heads, self.hidden_dim, self.inner_dim,
+            self.k_dim, self.v_dim, dtype=cdt, name="context_edge",
+        )(edge_vis, edge_txt, box_mask)
+        return obj_dists, obj_preds, edge_ctx
+
+
 class TransformerContext(nn.Module):
     """Object + edge context (model_transformer.py:200-316), batched.
 

@@ -15,7 +15,7 @@ becomes an explicit center-x permutation (lstm.centerx_perm).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,16 +25,64 @@ from flax import linen as nn
 from veto_tpu.ops.nms import obj_prediction_nms
 
 from ..freq_bias import FrequencyBias
-from .context import PairwiseFeatureExtractor, TransformerContext
+from .context import PairwiseFeatureExtractor, SHAContext, TransformerContext
 from .lstm import HighwayDecoderLSTM, MaskedBiLSTM, centerx_perm
 
 
 class LegacyOutput(NamedTuple):
     obj_dists: jnp.ndarray   # (B, N, num_obj) refined object logits
-    rel_dists: jnp.ndarray   # (B, P, num_rel)
+    rel_dists: jnp.ndarray   # (B, P, num_rel); None in MEET-ensemble mode
     obj_preds: jnp.ndarray   # (B, N) refined object labels
     # (B, N, N) pair-relatedness logits for VCTree's auxiliary binary loss
     binary_preds: Optional[jnp.ndarray] = None
+    # MEET mode: [expert][group] (B, P, gs+2) logits (consumed by the same
+    # meet_losses / postprocess machinery as VETOPredictor_MEET)
+    group_logits: Optional[Tuple[Tuple[jnp.ndarray, ...], ...]] = None
+    # (B, P, C-1+1) relation-confidence logits (RelatednessTestPredictor)
+    # for the auxiliary RelAwareLoss
+    relness_logits: Optional[jnp.ndarray] = None
+
+
+class MeetRelHeads(nn.Module):
+    """Per-expert/per-group relation classifiers for the *_MEET variants.
+
+    Reference: MotifPredictor_MEET / VCTreePredictor_MEET heads
+    (roi_relation_predictors.py:1410-1424, :2070-2084 — ``rel_out[k]`` per
+    group on the pair representation) and TransLikePredictor_MEET's dual
+    visual/context heads (:1673-1679, :1805-1816 — ``rel_out[k](visual_rep) +
+    context_out[k](prod_rep)``).  Each group classifier has ``gs + 2``
+    outputs (bg + members + OOD), matching veto_tpu's MeetPredictor naming
+    so the engine's routing/loss/vote code is shared verbatim.
+    """
+
+    group_sizes: Tuple[int, ...]
+    experts: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feat: jnp.ndarray,                 # (B, P, D) pair representation
+        ctx_feat: Optional[jnp.ndarray] = None,  # TransLike dual-head input
+    ) -> Tuple[Tuple[jnp.ndarray, ...], ...]:
+        out = []
+        for e in range(self.experts):
+            heads = []
+            for k, gs in enumerate(self.group_sizes):
+                logits = nn.Dense(
+                    gs + 2, dtype=jnp.float32,
+                    kernel_init=nn.initializers.xavier_uniform(),
+                    name=f"rel_out_e{e}_g{k}",
+                )(feat)
+                if ctx_feat is not None:
+                    logits = logits + nn.Dense(
+                        gs + 2, dtype=jnp.float32,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name=f"ctx_out_e{e}_g{k}",
+                    )(ctx_feat)
+                heads.append(logits)
+            out.append(tuple(heads))
+        return tuple(out)
 
 
 def _gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -61,6 +109,13 @@ class TransformerPredictor(nn.Module):
     mode: str = "predcls"
     use_vision: bool = True
     use_bias: bool = False
+    # "self_attention" → TransformerContext; "sha" → hybrid-attention
+    # SHA_Context (TransLikePredictor, hybrid_attention.py:112-209)
+    context_type: str = "self_attention"
+    # MEET ensemble: per-group heads replace rel/ctx_compress
+    # (TransLikePredictor_MEET, roi_relation_predictors.py:1581-1828)
+    meet_group_sizes: Optional[Tuple[int, ...]] = None
+    meet_experts: int = 1
     embed_init: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
 
@@ -80,7 +135,8 @@ class TransformerPredictor(nn.Module):
         train: bool = False,
     ) -> LegacyOutput:
         cdt = self.dtype
-        obj_dists, obj_preds, edge_ctx = TransformerContext(
+        ctx_cls = SHAContext if self.context_type == "sha" else TransformerContext
+        obj_dists, obj_preds, edge_ctx = ctx_cls(
             num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
             hidden_dim=self.hidden_dim, obj_layers=self.obj_layers,
             edge_layers=self.edge_layers, heads=self.heads,
@@ -118,6 +174,15 @@ class TransformerPredictor(nn.Module):
         else:
             visual_rep = ctx_gate
 
+        if self.meet_group_sizes is not None:
+            # dual per-group heads mirroring the base rel/ctx_compress pair
+            # (TransLikePredictor_MEET :1673-1679); no frequency bias.
+            group_logits = MeetRelHeads(
+                self.meet_group_sizes, self.meet_experts, name="meet_heads",
+            )(visual_rep, prod_rep)
+            return LegacyOutput(obj_dists, None, obj_preds,
+                                group_logits=group_logits)
+
         rel_dists = nn.Dense(
             self.num_rel_classes, dtype=jnp.float32,
             kernel_init=nn.initializers.xavier_uniform(), name="rel_compress",
@@ -139,6 +204,15 @@ class TransformerPredictor(nn.Module):
                 num_rel_classes=self.num_rel_classes, name="freq_bias",
             )(pair_pred)
         return LegacyOutput(obj_dists, rel_dists, obj_preds)
+
+
+class TransLikePredictor(TransformerPredictor):
+    """Transformer-style predictor over the SHA hybrid-attention context
+    (TransLikePredictor_MEET, roi_relation_predictors.py:1581-1828 — the
+    reference only ships the MEET variant; with ``meet_group_sizes=None``
+    this degrades to the commented-out plain dual-compress head)."""
+
+    context_type: str = "sha"
 
 
 class IMPPredictor(nn.Module):
@@ -416,6 +490,10 @@ class MotifPredictor(nn.Module):
     mode: str = "predcls"
     use_vision: bool = True
     use_bias: bool = True
+    # MEET ensemble: per-group heads on the union-gated pair rep
+    # (MotifPredictor_MEET, roi_relation_predictors.py:1154-1441)
+    meet_group_sizes: Optional[Tuple[int, ...]] = None
+    meet_experts: int = 1
     embed_init: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
 
@@ -466,6 +544,15 @@ class MotifPredictor(nn.Module):
                     kernel_init=nn.initializers.xavier_uniform(), name="up_dim",
                 )(uf)
             prod_rep = prod_rep * uf
+
+        if self.meet_group_sizes is not None:
+            # per-group heads on the gated pair rep, bias disabled
+            # (MotifPredictor_MEET :1418-1424)
+            group_logits = MeetRelHeads(
+                self.meet_group_sizes, self.meet_experts, name="meet_heads",
+            )(prod_rep)
+            return LegacyOutput(obj_dists, None, obj_preds,
+                                group_logits=group_logits)
 
         rel_dists = nn.Dense(
             self.num_rel_classes, dtype=jnp.float32, name="rel_compress"

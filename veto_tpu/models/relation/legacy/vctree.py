@@ -488,6 +488,10 @@ class VCTreePredictor(nn.Module):
     pooling_dim: int = 4096
     in_channels: int = 4096
     mode: str = "predcls"
+    # MEET ensemble: per-group heads on the post_cat pair rep (pre union
+    # gating — VCTreePredictor_MEET, roi_relation_predictors.py:1830-2091)
+    meet_group_sizes: Optional[Tuple[int, ...]] = None
+    meet_experts: int = 1
     co_occur_init: Optional[np.ndarray] = None
     embed_init: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
@@ -530,6 +534,15 @@ class VCTreePredictor(nn.Module):
             self.pooling_dim, dtype=cdt,
             kernel_init=nn.initializers.xavier_uniform(), name="post_cat",
         )(prod_rep)
+
+        if self.meet_group_sizes is not None:
+            from .predictors import MeetRelHeads
+
+            group_logits = MeetRelHeads(
+                self.meet_group_sizes, self.meet_experts, name="meet_heads",
+            )(prod_rep)
+            return LegacyOutput(obj_dists, None, obj_preds, bi_preds,
+                                group_logits=group_logits)
 
         uf = union_features.astype(cdt)
         if self.pooling_dim != self.in_channels:

@@ -54,6 +54,8 @@ class SGGForward(NamedTuple):
     pred_labels: jnp.ndarray  # (B, N) int32 predicted object labels
     predict_logits: jnp.ndarray  # (B, N, num_obj) frozen box-head logits
     binary_preds: Optional[jnp.ndarray] = None  # VCTree aux relatedness
+    # RelatednessTestPredictor confidence logits for RelAwareLoss
+    relness_logits: Optional[jnp.ndarray] = None
 
 
 class DetectOutput(NamedTuple):
@@ -107,9 +109,16 @@ class SGGModel(nn.Module):
     dtype: Any = jnp.bfloat16
 
     LEGACY_PREDICTORS = (
-        "TransformerPredictor", "IMPPredictor", "MotifPredictor",
-        "VCTreePredictor", "BGNNPredictor", "GPSNetPredictor",
-        "MSDNPredictor", "CausalAnalysisPredictor", "KERNPredictor",
+        "TransformerPredictor", "TransLikePredictor", "IMPPredictor",
+        "MotifPredictor", "VCTreePredictor", "BGNNPredictor",
+        "GPSNetPredictor", "MSDNPredictor", "CausalAnalysisPredictor",
+        "KERNPredictor", "NaivePredictor", "RelatednessTestPredictor",
+    )
+    # legacy predictors that accept the MEET per-group ensemble heads
+    # (MotifPredictor_MEET / TransLikePredictor_MEET / VCTreePredictor_MEET)
+    MEET_CAPABLE = (
+        "TransformerPredictor", "TransLikePredictor", "MotifPredictor",
+        "VCTreePredictor",
     )
     # causal predictor knobs (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
     causal_effect_type: str = "none"
@@ -140,13 +149,17 @@ class SGGModel(nn.Module):
                 MSDNPredictor,
                 IMPPredictor,
                 MotifPredictor,
+                NaivePredictor,
+                RelatednessTestPredictor,
                 TransformerPredictor,
+                TransLikePredictor,
                 VCTreePredictor,
             )
             from .relation.union_features import UnionFeatureExtractor
 
             cls = {
                 "TransformerPredictor": TransformerPredictor,
+                "TransLikePredictor": TransLikePredictor,
                 "IMPPredictor": IMPPredictor,
                 "MotifPredictor": MotifPredictor,
                 "VCTreePredictor": VCTreePredictor,
@@ -155,6 +168,8 @@ class SGGModel(nn.Module):
                 "MSDNPredictor": MSDNPredictor,
                 "CausalAnalysisPredictor": CausalPredictor,
                 "KERNPredictor": KERNPredictor,
+                "NaivePredictor": NaivePredictor,
+                "RelatednessTestPredictor": RelatednessTestPredictor,
             }[self.predictor]
             kwargs = dict(
                 num_obj_classes=self.num_obj_classes,
@@ -168,6 +183,10 @@ class SGGModel(nn.Module):
             if self.predictor == "CausalAnalysisPredictor":
                 kwargs["effect_type"] = self.causal_effect_type
                 kwargs["fusion_type"] = self.causal_fusion_type
+            if (self.meet_group_sizes is not None
+                    and self.predictor in self.MEET_CAPABLE):
+                kwargs["meet_group_sizes"] = self.meet_group_sizes
+                kwargs["meet_experts"] = self.meet_experts
             self.relation = cls(**kwargs)
             # trainable relation copy of the box MLP (reference
             # make_roi_box_feature_extractor(..., for_relation=True))
@@ -323,7 +342,8 @@ class SGGModel(nn.Module):
                 feats, boxes, pair_idx, image_sizes, train=train
             )
             kwargs = {}
-            if self.predictor == "IMPPredictor":
+            if self.predictor in ("IMPPredictor", "NaivePredictor",
+                                  "RelatednessTestPredictor"):
                 kwargs["pred_labels"] = pred_labels
             return self.relation(
                 boxes, box_mask, obj_labels, obj_logits, pair_idx, pair_mask,
@@ -387,12 +407,16 @@ class SGGModel(nn.Module):
                 feats, depth, boxes, box_mask, obj_labels, predict_logits,
                 pair_idx, pair_mask, train=train, pred_labels=pred_labels,
             )
+            rel = out.rel_dists
+            if rel is None:
+                rel = out.group_logits  # legacy MEET ensemble heads
             return SGGForward(
-                rel_logits=out.rel_dists,
+                rel_logits=rel,
                 obj_dists=out.obj_dists,
                 pred_labels=out.obj_preds,
                 predict_logits=predict_logits,
                 binary_preds=getattr(out, "binary_preds", None),
+                relness_logits=getattr(out, "relness_logits", None),
             )
         out = self.relate(
             feats, depth, boxes, box_mask, rel_labels_in, predict_logits,
