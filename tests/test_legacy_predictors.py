@@ -208,3 +208,24 @@ def test_relatedness_aux_loss_in_train_step():
     state, metrics = step(state, batch, jnp.asarray(1.0))
     assert np.isfinite(float(metrics["pre_rel_classify_loss"]))
     assert np.isfinite(float(metrics["rel_loss"]))
+
+
+def test_bgnn_rel_aware_mode(inputs):
+    """Relation-confidence-aware BGNN (model_bgnn.py:240-620): confidence
+    module params, learnable scaling gate, top-k message filtering, and
+    relness logits surfaced for the auxiliary loss."""
+    m = BGNNPredictor(
+        num_obj_classes=NUM_OBJ, num_rel_classes=NUM_REL, hidden_dim=32,
+        pooling_dim=D, in_channels=D, mode="predcls", rel_aware=True,
+        mp_valid_pairs=4,
+    )
+    args = (inputs["boxes"], inputs["mask"], inputs["labels"], inputs["logits"],
+            inputs["pi"], inputs["pmask"], inputs["roi"], inputs["uni"],
+            inputs["sizes"])
+    variables = m.init(jax.random.PRNGKey(0), *args, train=True)
+    assert "relation_conf_aware_models" in variables["params"]
+    assert "relness_alpha" in variables["params"]
+    out = m.apply(variables, *args, train=False)
+    assert out.relness_logits.shape == (B, P, NUM_REL)
+    assert out.rel_dists.shape == (B, P, NUM_REL)
+    assert np.isfinite(np.asarray(out.rel_dists)).all()

@@ -188,6 +188,8 @@ def build_model(cfg):
         context_pooling_dim=cfg.relation.context_pooling_dim,
         causal_effect_type=cfg.relation.causal_effect_type,
         causal_fusion_type=cfg.relation.causal_fusion_type,
+        bgnn_rel_aware=cfg.relation.rel_aware,
+        bgnn_mp_valid_pairs=cfg.relation.mp_valid_pairs,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
 

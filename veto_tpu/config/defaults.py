@@ -85,6 +85,11 @@ class RelationConfig:
     # causal analysis (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
     causal_effect_type: str = "none"  # none | TDE | NIE | TE
     causal_fusion_type: str = "sum"   # sum | gate
+    # BGNN/MSDN relation-confidence-aware mode
+    # (MODEL.ROI_RELATION_HEAD.RELATION_PROPOSAL_MODEL.SET_ON +
+    #  BGNN_MODULE.RELNESS_MP_WEIGHTING)
+    rel_aware: bool = False
+    mp_valid_pairs: int = 200  # BGNN_MODULE.MP_VALID_PAIRS_NUM
     # post-processing
     later_nms_prediction_thres: float = 0.3
 

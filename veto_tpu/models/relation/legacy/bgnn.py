@@ -15,10 +15,20 @@ gated messages for ``num_iter`` steps —
 
 The reference's per-image loops + dense (num_inst, num_rel) scatter maps
 become batched gathers + segment-means over the padded (B, N)/(B, P) axes.
-The relation-confidence-aware machinery (relness recalibration, pair
-filtering, pre-classifier gating — model_bgnn.py:330-520) is the
-RELATION_CONFIDENCE_AWARE mode and is not yet ported; this module covers
-the BGNN_MODULE defaults.
+
+The relation-confidence-aware mode (``rel_aware=True`` on BGNNPredictor;
+reference RELATION_CONFIDENCE_AWARE + model_bgnn.py:240-620) runs the
+RelAwareRelFeature confidence module on the pair features, recalibrates the
+relness score with the learnable-scaling gate clamp(a*x - a*b, 0, 1)
+(LearnableRelatednessGating :240-250, LEARNABLE_SCALING_WEIGHT=(2.5, 0.03)),
+restricts message passing to the top MP_VALID_PAIRS_NUM=200 pairs
+(:600-612 — here a static top-k threshold mask instead of a dynamic index
+select), weights pred→entity messages by the recalibrated relness
+(RELNESS_MP_WEIGHTING), and returns the confidence logits so the engine adds
+the auxiliary RelAwareLoss.  The per-iteration relness re-estimation
+(rel_classifier_per_iter, gating_with_relness_logits) is folded into the
+single pre-MP estimate — the shipped BGNN configs iterate the *same*
+proposal-network relatedness, which is what this reproduces.
 """
 
 from __future__ import annotations
@@ -83,11 +93,16 @@ class BGNNContext(nn.Module):
         pair_idx: jnp.ndarray,  # (B, P, 2)
         pair_mask: jnp.ndarray,  # (B, P)
         box_mask: jnp.ndarray,  # (B, N)
+        relness: Optional[jnp.ndarray] = None,  # (B, P) recalibrated scores
     ):
         b, n, h = ent.shape
         p = rel.shape[1]
         si, oi = pair_idx[..., 0], pair_idx[..., 1]
         pm = pair_mask[..., None].astype(self.dtype)
+        if relness is not None:
+            # RELNESS_MP_WEIGHTING: scale pred→entity messages by the pair's
+            # confidence (model_bgnn.py prepare_message relness branch)
+            pm = pm * relness[..., None].astype(self.dtype)
 
         n_sets = 1 if self.share_iter_params else self.num_iter
         units = [
@@ -314,6 +329,10 @@ class BGNNPredictor(nn.Module):
     num_iter: int = 3
     mode: str = "predcls"
     use_bias: bool = True
+    # relation-confidence-aware mode (RELATION_CONFIDENCE_AWARE)
+    rel_aware: bool = False
+    mp_valid_pairs: int = 200           # MP_VALID_PAIRS_NUM
+    scaling_weight: tuple = (2.5, 0.03)  # LEARNABLE_SCALING_WEIGHT (a, b)
     embed_init: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
 
@@ -344,6 +363,31 @@ class BGNNPredictor(nn.Module):
         )(roi_features, union_features, boxes, box_mask, obj_labels,
           predict_logits, pred_labels, pair_idx, image_sizes, train)
 
+        relness_logits = None
+        relness = None
+        mp_mask = pair_mask
+        if self.rel_aware:
+            from ..rel_proposal import RelAwareRelFeature
+
+            out_rel = RelAwareRelFeature(
+                num_obj_classes=self.num_obj_classes,
+                num_rel_classes=self.num_rel_classes,
+                dtype=cdt, name="relation_conf_aware_models",
+            )(rel_feats, boxes, predict_logits, pair_idx, pair_mask,
+              image_sizes)
+            relness_logits = out_rel.logits
+            # learnable-scaling recalibration clamp(a*x - a*b, 0, 1)
+            a0, b0 = self.scaling_weight
+            alpha = self.param("relness_alpha",
+                               lambda *_: jnp.asarray([a0], jnp.float32))
+            scores = jax.lax.stop_gradient(out_rel.scores).astype(jnp.float32)
+            relness = jnp.clip(alpha * scores - alpha * b0, 0.0, 1.0)
+            # static top-k pair filter: threshold at the k-th best score
+            masked = jnp.where(pair_mask, scores, -jnp.inf)
+            k = min(self.mp_valid_pairs, pair_mask.shape[1])
+            kth = jax.lax.top_k(masked, k)[0][..., -1]
+            mp_mask = pair_mask & (masked >= kth[..., None])
+
         ent = nn.relu(
             nn.Dense(self.hidden_dim, dtype=cdt, name="obj_downdim_fc")(aug_obj)
         )
@@ -353,7 +397,7 @@ class BGNNPredictor(nn.Module):
         ent, rel = BGNNContext(
             hidden_dim=self.hidden_dim, num_iter=self.num_iter, dtype=cdt,
             name="context_layer",
-        )(ent, rel, pair_idx, pair_mask, box_mask)
+        )(ent, rel, pair_idx, mp_mask, box_mask, relness=relness)
 
         if self.mode == "predcls":
             obj_dists = jax.nn.one_hot(obj_labels, self.num_obj_classes,
@@ -377,7 +421,8 @@ class BGNNPredictor(nn.Module):
                 num_obj_classes=self.num_obj_classes,
                 num_rel_classes=self.num_rel_classes, name="freq_bias",
             )(pair_pred)
-        return LegacyOutput(obj_dists, rel_dists, obj_preds)
+        return LegacyOutput(obj_dists, rel_dists, obj_preds,
+                            relness_logits=relness_logits)
 
 
 class MSDNPredictor(BGNNPredictor):

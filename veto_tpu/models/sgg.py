@@ -123,6 +123,9 @@ class SGGModel(nn.Module):
     # causal predictor knobs (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
     causal_effect_type: str = "none"
     causal_fusion_type: str = "sum"
+    # BGNN/MSDN relation-confidence-aware mode
+    bgnn_rel_aware: bool = False
+    bgnn_mp_valid_pairs: int = 200
 
     def setup(self):
         self.backbone = ResNetFPNBackbone(
@@ -187,6 +190,9 @@ class SGGModel(nn.Module):
                     and self.predictor in self.MEET_CAPABLE):
                 kwargs["meet_group_sizes"] = self.meet_group_sizes
                 kwargs["meet_experts"] = self.meet_experts
+            if self.predictor in ("BGNNPredictor", "MSDNPredictor"):
+                kwargs["rel_aware"] = self.bgnn_rel_aware
+                kwargs["mp_valid_pairs"] = self.bgnn_mp_valid_pairs
             self.relation = cls(**kwargs)
             # trainable relation copy of the box MLP (reference
             # make_roi_box_feature_extractor(..., for_relation=True))
