@@ -1,0 +1,155 @@
+"""Load reference (/root/reference) torch modules standalone for parity tests.
+
+The reference files live inside the `pysgg` package with heavy deps (yacs,
+CUDA _C, ipdb, sklearn...).  We exec individual files with their package
+context stubbed, following the tools/gen_eval_fixtures.py pattern, so the
+real torch code runs unmodified and our flax rebuilds can be compared
+numerically against it.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+REL_HEAD = os.path.join(
+    REF_ROOT, "pysgg", "modeling", "roi_heads", "relation_head"
+)
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REL_HEAD)
+
+
+class _AttrDict(dict):
+    """Recursive attribute dict standing in for a yacs config node."""
+
+    def __getattr__(self, k):
+        if k.startswith("__"):
+            raise AttributeError(k)
+        return self.setdefault(k, _AttrDict())
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def make_cfg(**leaves) -> _AttrDict:
+    """Build a yacs-style config stub; leaves are dotted paths."""
+    cfg = _AttrDict()
+    for path, val in leaves.items():
+        node = cfg
+        parts = path.split("__")
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        node[parts[-1]] = val
+    return cfg
+
+
+def _stub(name, **attrs):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _ensure_pkg(name, path=None):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    mod.__path__ = [path] if path else []
+    sys.modules[name] = mod
+    return mod
+
+
+def load_ref_module(fname, modname, pre_stub=None):
+    """Exec a relation_head file under its real dotted name.
+
+    ``pre_stub`` is a callable run after the package skeleton is in place
+    and before the module executes (to stub siblings it imports).
+    """
+    pkgs = [
+        ("pysgg", os.path.join(REF_ROOT, "pysgg")),
+        ("pysgg.modeling", os.path.join(REF_ROOT, "pysgg", "modeling")),
+        ("pysgg.modeling.roi_heads",
+         os.path.join(REF_ROOT, "pysgg", "modeling", "roi_heads")),
+        ("pysgg.modeling.roi_heads.relation_head", REL_HEAD),
+    ]
+    for name, path in pkgs:
+        _ensure_pkg(name, path)
+    if pre_stub:
+        pre_stub()
+    full = f"pysgg.modeling.roi_heads.relation_head.{modname}"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(
+        full, os.path.join(REL_HEAD, fname)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_model_veto():
+    """model_veto.py is self-contained (torch + einops only)."""
+    return load_ref_module("model_veto.py", "model_veto")
+
+
+def _torch_cat(tensors, dim=0):
+    import torch
+
+    return tensors[0] if len(tensors) == 1 else torch.cat(tensors, dim)
+
+
+def deterministic_glove(names, wv_dir=None, wv_type=None, wv_dim=200):
+    """obj_edge_vectors replacement: seeded N(0,1), no GloVe files needed."""
+    import torch
+
+    rng = np.random.RandomState(abs(hash(tuple(names))) % (2 ** 31))
+    return torch.from_numpy(rng.randn(len(names), wv_dim).astype(np.float32))
+
+
+def load_ref_utils_motifs():
+    """The REAL utils_motifs.py (sort_by_score, encode_box_info, to_onehot),
+    with only obj_edge_vectors patched to skip the GloVe file load."""
+
+    def pre_stub():
+        _stub("ipdb", set_trace=lambda: None)
+        _stub("pysgg.modeling.utils", cat=_torch_cat)
+        _stub(
+            "pysgg.modeling.roi_heads.relation_head.utils_relation",
+            nms_overlaps=None,
+        )
+
+    mod = load_ref_module("utils_motifs.py", "utils_motifs", pre_stub)
+    mod.obj_edge_vectors = deterministic_glove
+    return mod
+
+
+def load_ref_model_motifs():
+    """model_motifs.py over the real utils_motifs (GloVe load patched)."""
+    load_ref_utils_motifs()
+    return load_ref_module("model_motifs.py", "model_motifs")
+
+
+class FakeBoxList:
+    """Minimal BoxList stand-in (bbox/size/mode/fields) for reference
+    modules that only read those members."""
+
+    def __init__(self, bbox, size, **fields):
+        self.bbox = bbox
+        self.size = size
+        self.mode = "xyxy"
+        self._fields = fields
+
+    def get_field(self, k):
+        return self._fields[k]
+
+    def __len__(self):
+        return self.bbox.shape[0]

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from veto_tpu.models.relation.legacy import (
+    AGRCNNPredictor,
     BGNNPredictor,
     GPSNetPredictor,
     KERNPredictor,
@@ -62,9 +63,13 @@ def inputs(request):
         (KERNPredictor, {"embed_dim": 16}),
         (NaivePredictor, {}),
         (RelatednessTestPredictor, {}),
+        (AGRCNNPredictor, {"graph_hidden_dim": 32}),
+        (AGRCNNPredictor, {"graph_hidden_dim": 32,
+                           "use_obj_recls_logits": True,
+                           "mp_on_valid_pairs": True, "mp_valid_pairs": 4}),
     ],
     ids=["transformer", "translike", "imp", "motifs", "bgnn", "gpsnet",
-         "kern", "naive", "relatedness"],
+         "kern", "naive", "relatedness", "agrcnn", "agrcnn_recls"],
 )
 def test_legacy_predictor_modes(inputs, mode, cls, extra):
     m = cls(num_obj_classes=NUM_OBJ, num_rel_classes=NUM_REL, hidden_dim=32,
@@ -89,14 +94,16 @@ def test_legacy_predictor_modes(inputs, mode, cls, extra):
         assert (preds >= 0).all() and (preds < NUM_OBJ).all()
 
 
-def test_centerx_perm_orders_left_to_right():
+def test_centerx_perm_matches_reference_order():
+    """Descending center-x, padding last (sort_by_score sorts descending on
+    the normalized c_x score — utils_motifs.py:61-89)."""
     boxes = jnp.asarray(
         [[[50, 0, 60, 10], [10, 0, 20, 10], [30, 0, 40, 10], [0, 0, 0, 0]]],
         jnp.float32,
     )
     mask = jnp.asarray([[True, True, True, False]])
     perm, inv = jax.vmap(centerx_perm)(boxes, mask)
-    np.testing.assert_array_equal(np.asarray(perm)[0], [1, 2, 0, 3])
+    np.testing.assert_array_equal(np.asarray(perm)[0], [0, 2, 1, 3])
     # inverse really inverts
     x = jnp.arange(4)[None].repeat(1, 0)
     sorted_x = jnp.take_along_axis(x, perm, 1)

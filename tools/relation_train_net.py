@@ -186,6 +186,12 @@ def build_model(cfg):
         meet_experts=meet.experts_per_group if meet else 1,
         context_hidden_dim=cfg.relation.context_hidden_dim,
         context_pooling_dim=cfg.relation.context_pooling_dim,
+        veto_dim=cfg.veto.t_input_dim,
+        veto_layers=cfg.veto.enc_layers,
+        veto_heads=cfg.veto.nheads,
+        veto_patch_size=cfg.veto.patch_size,
+        veto_depth_proj_dim=cfg.veto.depth_proj_dim,
+        veto_visual_proj_dim=cfg.veto.visual_proj_dim,
         causal_effect_type=cfg.relation.causal_effect_type,
         causal_fusion_type=cfg.relation.causal_fusion_type,
         bgnn_rel_aware=cfg.relation.rel_aware,

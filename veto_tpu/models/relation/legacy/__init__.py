@@ -14,6 +14,7 @@ from .predictors import (
     TransformerPredictor,
     TransLikePredictor,
 )
+from .agcn import AGRCNNPredictor
 from .bgnn import BGNNPredictor, GPSNetPredictor, MSDNPredictor
 from .causal import CausalPredictor
 from .kern import KERNPredictor

@@ -19,13 +19,16 @@ from flax import linen as nn
 
 
 def centerx_perm(boxes: jnp.ndarray, mask: jnp.ndarray):
-    """Left-to-right ordering of valid proposals (LSTMContext.sort_rois).
+    """Center-x ordering of valid proposals (LSTMContext.sort_rois).
 
-    Returns (perm, inv_perm): ``x[perm]`` is sorted by center-x with padding
-    last; ``y[inv_perm]`` undoes it.
+    The reference sorts DESCENDING on the normalized center-x score
+    (utils_motifs.py sort_by_score:61-89: ``torch.sort(..., descending=True)``
+    on ``c_x / (c_x.max() + 1)``), i.e. right-to-left.  Returns
+    (perm, inv_perm): ``x[perm]`` is sorted with padding last;
+    ``y[inv_perm]`` undoes it.
     """
     cx = 0.5 * (boxes[..., 0] + boxes[..., 2])
-    key = jnp.where(mask, cx, jnp.inf)
+    key = jnp.where(mask, -cx, jnp.inf)
     perm = jnp.argsort(key)
     inv = jnp.argsort(perm)
     return perm, inv

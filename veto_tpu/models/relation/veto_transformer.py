@@ -74,7 +74,8 @@ class _FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU — torch nn.GELU() default (model_veto.py:141)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 

@@ -106,6 +106,14 @@ class SGGModel(nn.Module):
     # legacy-predictor hyperparams (CONTEXT_HIDDEN_DIM / CONTEXT_POOLING_DIM)
     context_hidden_dim: int = 512
     context_pooling_dim: int = 4096
+    # VETO transformer hyperparams (VETOTRANSFORMER.*, defaults.py:331-338)
+    veto_dim: int = 576
+    veto_layers: int = 6
+    veto_heads: int = 6
+    veto_patch_size: int = 2
+    veto_depth_proj_dim: int = 512
+    veto_visual_proj_dim: int = 64
+    embed_dim: int = 200
     dtype: Any = jnp.bfloat16
 
     LEGACY_PREDICTORS = (
@@ -113,6 +121,7 @@ class SGGModel(nn.Module):
         "MotifPredictor", "VCTreePredictor", "BGNNPredictor",
         "GPSNetPredictor", "MSDNPredictor", "CausalAnalysisPredictor",
         "KERNPredictor", "NaivePredictor", "RelatednessTestPredictor",
+        "AGRCNNPredictor",
     )
     # legacy predictors that accept the MEET per-group ensemble heads
     # (MotifPredictor_MEET / TransLikePredictor_MEET / VCTreePredictor_MEET)
@@ -145,6 +154,7 @@ class SGGModel(nn.Module):
         )
         if self.predictor in self.LEGACY_PREDICTORS:
             from .relation.legacy import (
+                AGRCNNPredictor,
                 BGNNPredictor,
                 CausalPredictor,
                 KERNPredictor,
@@ -173,6 +183,7 @@ class SGGModel(nn.Module):
                 "KERNPredictor": KERNPredictor,
                 "NaivePredictor": NaivePredictor,
                 "RelatednessTestPredictor": RelatednessTestPredictor,
+                "AGRCNNPredictor": AGRCNNPredictor,
             }[self.predictor]
             kwargs = dict(
                 num_obj_classes=self.num_obj_classes,
@@ -213,6 +224,13 @@ class SGGModel(nn.Module):
                 experts_per_group=self.meet_experts,
                 num_obj_classes=self.num_obj_classes,
                 num_rel_classes=self.num_rel_classes,
+                embed_dim=self.embed_dim,
+                dim=self.veto_dim,
+                layers=self.veto_layers,
+                heads=self.veto_heads,
+                patch_size=self.veto_patch_size,
+                depth_proj_dim=self.veto_depth_proj_dim,
+                visual_proj_dim=self.veto_visual_proj_dim,
                 mode=self.mode,
                 dtype=self.dtype,
             )
@@ -220,6 +238,13 @@ class SGGModel(nn.Module):
             self.relation = VetoPredictor(
                 num_obj_classes=self.num_obj_classes,
                 num_rel_classes=self.num_rel_classes,
+                embed_dim=self.embed_dim,
+                dim=self.veto_dim,
+                layers=self.veto_layers,
+                heads=self.veto_heads,
+                patch_size=self.veto_patch_size,
+                depth_proj_dim=self.veto_depth_proj_dim,
+                visual_proj_dim=self.veto_visual_proj_dim,
                 mode=self.mode,
                 dtype=self.dtype,
             )

@@ -181,3 +181,221 @@ def import_detector_weights(params, ckpt_path: str, logger=None):
     sd = load_torch_state_dict(ckpt_path)
     updates = detector_param_updates(sd)
     return apply_updates(params, updates, logger)
+
+
+def _split_pair_columns(w: np.ndarray, half: int):
+    """Split a torch (out, 2*half) concat-projection into subj/obj kernels.
+
+    The reference projects concat(subj_feat, obj_feat); W @ [s; o] =
+    W[:, :half] @ s + W[:, half:] @ o, so each half becomes an independent
+    per-proposal projection (predictor_veto.py module docstring).
+    Returns (kernel_subj (half, out), kernel_obj (half, out)).
+    """
+    return _fc(w[:, :half]), _fc(w[:, half:])
+
+
+def _split_patch_columns(w: np.ndarray, channels: int, patch_area: int):
+    """Split a torch PatchEmbed projection into subj/obj patch kernels.
+
+    The reference concatenates the subject and object pooled maps
+    channel-wise (rel_depth = cat([d_s, d_o], dim=1),
+    roi_relation_predictors.py:4121-4123) and then patchifies with
+    einops '(p1 p2 c)' ordering (model_veto.py:108-110): each patch
+    position contributes ``2*channels`` adjacent columns — the first
+    ``channels`` from the subject map, the next from the object map.
+    """
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, patch_area, 2 * channels)
+    ws = w[:, :, :channels].reshape(out_dim, patch_area * channels)
+    wo = w[:, :, channels:].reshape(out_dim, patch_area * channels)
+    return _fc(ws), _fc(wo)
+
+
+def veto_encoder_updates(
+    sd: Dict[str, np.ndarray], src: str, dst: Tuple[str, ...], layers: int = 6
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map the reference Transformer encoder stack (model_veto.py:28-64)
+    onto a :class:`VetoEncoder`/``VetoTransformer`` param subtree.
+
+    ``src`` is the torch prefix of the inner ``Transformer`` module (e.g.
+    ``fusion_transformer.transformer``), ``dst`` the flax path prefix.
+    """
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path, arr):
+        out[dst + tuple(path)] = np.asarray(arr, np.float32)
+
+    put(("cls_token",), sd[f"{src}.cls_token"])
+    put(("pos_embedding",), sd[f"{src}.pos_embedding"])
+    for i in range(layers):
+        lp = f"{src}.layers.{i}"
+        put((f"attn_norm{i}", "scale"), sd[f"{lp}.0.norm.weight"])
+        put((f"attn_norm{i}", "bias"), sd[f"{lp}.0.norm.bias"])
+        put((f"attn{i}", "to_qkv", "kernel"), _fc(sd[f"{lp}.0.fn.to_qkv.weight"]))
+        put((f"attn{i}", "to_out", "kernel"), _fc(sd[f"{lp}.0.fn.to_out.0.weight"]))
+        put((f"attn{i}", "to_out", "bias"), sd[f"{lp}.0.fn.to_out.0.bias"])
+        put((f"ffn_norm{i}", "scale"), sd[f"{lp}.1.norm.weight"])
+        put((f"ffn_norm{i}", "bias"), sd[f"{lp}.1.norm.bias"])
+        put((f"ffn{i}", "fc1", "kernel"), _fc(sd[f"{lp}.1.fn.net.0.weight"]))
+        put((f"ffn{i}", "fc1", "bias"), sd[f"{lp}.1.fn.net.0.bias"])
+        put((f"ffn{i}", "fc2", "kernel"), _fc(sd[f"{lp}.1.fn.net.3.weight"]))
+        put((f"ffn{i}", "fc2", "bias"), sd[f"{lp}.1.fn.net.3.bias"])
+    return out
+
+
+def veto_relation_param_updates(
+    sd: Dict[str, np.ndarray],
+    src_prefix: str = "roi_heads.relation.predictor",
+    layers: int = 6,
+    in_channels: int = 256,
+    patch_size: int = 2,
+):
+    """Translate a reference VETOPredictor state dict
+    (roi_relation_predictors.py:3997-4070) into VetoPredictor param paths.
+
+    Concat-projection weights are split into the pair-factorized
+    subject/object kernels (mathematically identical — see
+    predictor_veto.py).  Returns (param_updates, batch_stats_updates); the
+    latter carries the pos_embed BatchNorm running statistics.
+    """
+    p = (src_prefix + ".") if src_prefix else ""
+    # strip the prefix so lookups below are predictor-local
+    sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)} if p else dict(sd)
+
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path, arr):
+        out[tuple(path)] = np.asarray(arr, np.float32)
+
+    t = ("trunk",)
+    put(t + ("obj_embed", "embedding"), sd["obj_embed.weight"])
+    # pos_embed: BatchNorm1d(4) + Linear(4, 128) (:4042-4047)
+    put(t + ("pos_bn", "scale"), sd["pos_embed.0.weight"])
+    put(t + ("pos_bn", "bias"), sd["pos_embed.0.bias"])
+    stats[t + ("pos_bn", "mean")] = np.asarray(sd["pos_embed.0.running_mean"], np.float32)
+    stats[t + ("pos_bn", "var")] = np.asarray(sd["pos_embed.0.running_var"], np.float32)
+    put(t + ("pos_fc", "kernel"), _fc(sd["pos_embed.1.weight"]))
+    put(t + ("pos_fc", "bias"), sd["pos_embed.1.bias"])
+
+    # location/class projections over concat(subj, obj) (:4118-4121)
+    ks, ko = _split_pair_columns(sd["location_projection.0.weight"], 128)
+    put(t + ("loc_proj_subj", "kernel"), ks)
+    put(t + ("loc_proj_obj", "kernel"), ko)
+    put(t + ("loc_proj_bias",), sd["location_projection.0.bias"])
+    ks, ko = _split_pair_columns(sd["class_projection.0.weight"], 200)
+    put(t + ("class_proj_subj", "kernel"), ks)
+    put(t + ("class_proj_obj", "kernel"), ko)
+    put(t + ("class_proj_bias",), sd["class_projection.0.bias"])
+
+    # patch projections (model_veto.py:102-115)
+    area = patch_size * patch_size
+    ks, ko = _split_patch_columns(
+        sd["fusion_transformer.transformer.patch_embed.proj_d.weight"],
+        in_channels, area)
+    put(t + ("proj_d_subj", "kernel"), ks)
+    put(t + ("proj_d_obj", "kernel"), ko)
+    put(t + ("proj_d_bias",),
+        sd["fusion_transformer.transformer.patch_embed.proj_d.bias"])
+    ks, ko = _split_patch_columns(
+        sd["fusion_transformer.transformer.patch_embed.proj_v.weight"],
+        in_channels, area)
+    put(t + ("proj_v_subj", "kernel"), ks)
+    put(t + ("proj_v_obj", "kernel"), ko)
+    put(t + ("proj_v_bias",),
+        sd["fusion_transformer.transformer.patch_embed.proj_v.bias"])
+
+    out.update(veto_encoder_updates(
+        sd, "fusion_transformer.transformer", t + ("fusion_transformer",),
+        layers=layers))
+
+    if "rel_out.weight" in sd:
+        put(("rel_out", "kernel"), _fc(sd["rel_out.weight"]))
+        put(("rel_out", "bias"), sd["rel_out.bias"])
+    return out, stats
+
+
+def lstm_cell_updates(
+    sd: Dict[str, np.ndarray], src: str, dst: Tuple[str, ...], layers: int = 1
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map a torch nn.LSTM(bidirectional=True) onto a MaskedBiLSTM subtree.
+
+    torch packs gates as [i, f, g, o] rows of weight_ih/weight_hh
+    (4H, in)/(4H, H) with two bias vectors; flax OptimizedLSTMCell keeps
+    per-gate dense layers ii/if/ig/io (input, no bias) and hi/hf/hg/ho
+    (hidden, bias) — the torch biases sum into the hidden-side bias.
+    """
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    gates = ("i", "f", "g", "o")
+    for layer in range(layers):
+        for cell, sfx in ((f"fwd{layer}", ""), (f"bwd{layer}", "_reverse")):
+            w_ih = sd[f"{src}.weight_ih_l{layer}{sfx}"]
+            w_hh = sd[f"{src}.weight_hh_l{layer}{sfx}"]
+            bias = (sd[f"{src}.bias_ih_l{layer}{sfx}"]
+                    + sd[f"{src}.bias_hh_l{layer}{sfx}"])
+            h = w_hh.shape[1]
+            for gi, g in enumerate(gates):
+                rows = slice(gi * h, (gi + 1) * h)
+                out[dst + (cell, f"i{g}", "kernel")] = _fc(w_ih[rows])
+                out[dst + (cell, f"h{g}", "kernel")] = _fc(w_hh[rows])
+                out[dst + (cell, f"h{g}", "bias")] = bias[rows].astype(np.float32)
+    return out
+
+
+def decoder_rnn_updates(
+    sd: Dict[str, np.ndarray], src: str, dst: Tuple[str, ...]
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map the reference DecoderRNN (model_motifs.py:58-223) onto a
+    HighwayDecoderLSTM subtree."""
+    return {
+        dst + ("obj_embed",): np.asarray(sd[f"{src}.obj_embed.weight"], np.float32),
+        dst + ("input_w",): _fc(sd[f"{src}.input_linearity.weight"]),
+        dst + ("input_b",): np.asarray(sd[f"{src}.input_linearity.bias"], np.float32),
+        dst + ("state_w",): _fc(sd[f"{src}.state_linearity.weight"]),
+        dst + ("state_b",): np.asarray(sd[f"{src}.state_linearity.bias"], np.float32),
+        dst + ("out_w",): _fc(sd[f"{src}.out_obj.weight"]),
+        dst + ("out_b",): np.asarray(sd[f"{src}.out_obj.bias"], np.float32),
+    }
+
+
+def motifs_context_param_updates(
+    sd: Dict[str, np.ndarray],
+    src_prefix: str = "",
+    obj_layers: int = 1,
+    edge_layers: int = 1,
+):
+    """Translate a reference LSTMContext state dict (model_motifs.py:224-420)
+    into our LSTMContext param paths.
+
+    Returns (param_updates, batch_stats_updates) — the latter carries the
+    pos_embed BatchNorm1d(32) running statistics.
+    """
+    p = (src_prefix + ".") if src_prefix else ""
+    sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)} if p else dict(sd)
+
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path, arr):
+        out[tuple(path)] = np.asarray(arr, np.float32)
+
+    put(("obj_embed1", "embedding"), sd["obj_embed1.weight"])
+    put(("obj_embed2", "embedding"), sd["obj_embed2.weight"])
+    # pos_embed: Linear(9,32) → BN(32) → Linear(32,128) → ReLU (:255-259)
+    put(("pos_fc1", "kernel"), _fc(sd["pos_embed.0.weight"]))
+    put(("pos_fc1", "bias"), sd["pos_embed.0.bias"])
+    put(("pos_bn", "scale"), sd["pos_embed.1.weight"])
+    put(("pos_bn", "bias"), sd["pos_embed.1.bias"])
+    stats[("pos_bn", "mean")] = np.asarray(sd["pos_embed.1.running_mean"], np.float32)
+    stats[("pos_bn", "var")] = np.asarray(sd["pos_embed.1.running_var"], np.float32)
+    put(("pos_fc2", "kernel"), _fc(sd["pos_embed.2.weight"]))
+    put(("pos_fc2", "bias"), sd["pos_embed.2.bias"])
+    out.update(lstm_cell_updates(sd, "obj_ctx_rnn", ("obj_ctx_rnn",), obj_layers))
+    out.update(lstm_cell_updates(sd, "edge_ctx_rnn", ("edge_ctx_rnn",), edge_layers))
+    if "decoder_rnn.obj_embed.weight" in sd:
+        out.update(decoder_rnn_updates(sd, "decoder_rnn", ("decoder_rnn",)))
+    put(("lin_obj_h", "kernel"), _fc(sd["lin_obj_h.weight"]))
+    put(("lin_obj_h", "bias"), sd["lin_obj_h.bias"])
+    put(("lin_edge_h", "kernel"), _fc(sd["lin_edge_h.weight"]))
+    put(("lin_edge_h", "bias"), sd["lin_edge_h.bias"])
+    return out, stats
