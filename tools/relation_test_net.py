@@ -34,11 +34,11 @@ def main():
         build_model,
         init_model,
         make_eval_fn,
+        make_sgg_evaluator,
     )
 
     from veto_tpu.config import load_config
     from veto_tpu.engine.train import create_train_state
-    from veto_tpu.evaluation.sgg_eval import SGGEvaluator
     from veto_tpu.solver.optim import make_optimizer
     from veto_tpu.utils.checkpoint import CheckpointManager
     from veto_tpu.utils.logger import setup_logger
@@ -61,9 +61,10 @@ def main():
     logger.info(f"evaluating checkpoint @ step {int(state.step)}")
 
     step, kind = make_eval_fn(cfg, model)
-    evaluator = SGGEvaluator(
-        mode=cfg.relation.mode, num_rel_classes=cfg.relation.num_classes
-    )
+    # zR needs the training split's triplet set (reference vg_eval always
+    # evaluates zero-shot recall); derive it unless disabled
+    train_ds = build_dataset(cfg, "train") if cfg.test.zeroshot_eval else None
+    evaluator = make_sgg_evaluator(cfg, train_ds, ds)
     coco = None
     if cfg.relation.mode == "sgdet":
         from veto_tpu.evaluation.coco_map import CocoMapEvaluator

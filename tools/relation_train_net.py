@@ -313,6 +313,57 @@ def _scale(rec, input_size):
     return np.asarray([[ow / iw, oh / ih, ow / iw, oh / ih]], np.float32)
 
 
+def make_sgg_evaluator(cfg, train_ds=None, eval_ds=None):
+    """SGGEvaluator with the full reference metric set.
+
+    The reference's vg_eval always evaluates zero-shot recall (against the
+    shipped zeroshot_triplet.pytorch binary) and can report head/body/tail
+    splits and stage-wise diagnostics; here the unseen-triplet set is
+    derived from the datasets and cached next to the run
+    (sgg_eval.py:346-366 vs reference vg_eval.py:459-583).
+    """
+    from veto_tpu.evaluation.sgg_eval import (
+        SGGEvaluator,
+        compute_zeroshot_triplets,
+        vg_longtail_parts,
+    )
+
+    zs = None
+    if cfg.test.zeroshot_eval and cfg.test.zeroshot_file:
+        from veto_tpu.evaluation.sgg_eval import load_zeroshot_triplets_file
+
+        zs = load_zeroshot_triplets_file(cfg.test.zeroshot_file)
+    elif (
+        cfg.test.zeroshot_eval
+        and train_ds is not None
+        and eval_ds is not None
+        and hasattr(train_ds, "relationships")
+        and hasattr(eval_ds, "relationships")
+    ):
+        cache = os.path.join(cfg.output_dir, "zeroshot_triplets.npy")
+        if os.path.exists(cache):
+            zs = np.load(cache)
+        else:
+            zs = compute_zeroshot_triplets(train_ds, eval_ds)
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            np.save(cache, zs)
+    parts = None
+    if (
+        cfg.test.longtail_eval
+        and cfg.relation.num_classes == 51
+        and "GQA" not in cfg.data.dataset
+    ):
+        parts = vg_longtail_parts(reordered=cfg.data.reorder_freq_based)
+    return SGGEvaluator(
+        mode=cfg.relation.mode,
+        num_rel_classes=cfg.relation.num_classes,
+        iou_thres=cfg.test.iou_threshold,
+        zeroshot_triplets=zs,
+        longtail_parts=parts,
+        stagewise=cfg.test.stagewise_eval,
+    )
+
+
 def run_validation(cfg, model, state, val_gen, evaluator, eval_fn=None):
     if eval_fn is None:
         eval_fn = make_eval_fn(cfg, model)
@@ -332,7 +383,6 @@ def train(cfg, logger):
         batch_sharding, create_train_state, make_mesh, make_train_step,
         shard_train_step,
     )
-    from veto_tpu.evaluation.sgg_eval import SGGEvaluator
     from veto_tpu.models.relation.predictor_veto import beta_class_weights
     from veto_tpu.solver.optim import LRController, make_optimizer
     from veto_tpu.utils.checkpoint import CheckpointManager
@@ -346,11 +396,27 @@ def train(cfg, logger):
 
     # class weights (Rwt beta loss, roi_relation_predictors.py:4057-4070)
     cw = None
+    counts = predicate_counts(
+        "GQA" if "GQA" in cfg.data.dataset else "VG"
+    )[: cfg.relation.num_classes]
     if cfg.relation.beta_loss:
-        counts = predicate_counts(
-            "GQA" if "GQA" in cfg.data.dataset else "VG"
-        )[: cfg.relation.num_classes]
         cw = beta_class_weights(counts, cfg.relation.beta)
+
+    # relation loss variant (loss.py:13-120 branches made configurable)
+    loss_variant = cfg.relation.loss_variant
+    if cfg.relation.label_smoothing and loss_variant == "weighted_ce":
+        loss_variant = "label_smoothing"
+    ldam_m = None
+    loss_state = None
+    if loss_variant == "ldam":
+        from veto_tpu.ops.losses import ldam_margins
+
+        ldam_m = ldam_margins(counts, cfg.relation.ldam_max_m)
+    elif loss_variant == "balanced_norm":
+        # init_prob 0.03, bg pinned at 1 (layers/balanced_norm.py:52-54)
+        lp = np.full(cfg.relation.num_classes, 0.03, np.float32)
+        lp[0] = 1.0
+        loss_state = jnp.asarray(lp)
 
     rng = jax.random.PRNGKey(cfg.solver.seed)
     first_batch, _ = next(train_gen(max_iter=1))
@@ -366,12 +432,21 @@ def train(cfg, logger):
     tx = make_optimizer(cfg.solver, variables["params"],
                         frozen_prefixes=FROZEN_DETECTOR)
     state = create_train_state(model, tx, rng, small, variables=variables)
+    if loss_state is not None:
+        state = state.replace(loss_state=loss_state)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     logger.info(f"model init: {n_params / 1e6:.2f}M params")
 
     meet = build_meet_config(cfg)
     ndev = len(jax.devices())
-    mesh = make_mesh(data=ndev, pair=1)
+    # batch must divide over the data axis; leftover devices shard the
+    # relation-pair axis instead (SURVEY.md §5 pair-parallel)
+    import math
+
+    data_axis = math.gcd(ndev, cfg.solver.ims_per_batch)
+    mesh = make_mesh(data=data_axis, pair=ndev // data_axis)
+    if ndev > 1:
+        logger.info(f"mesh: data={data_axis} pair={ndev // data_axis}")
     if cfg.relation.mode == "sgdet":
         from veto_tpu.engine.train import make_sgdet_train_step
 
@@ -382,6 +457,7 @@ def train(cfg, logger):
             num_sample_per_gt_rel=cfg.relation.num_sample_per_gt_rel,
             require_overlap=cfg.relation.require_box_overlap,
             mesh=mesh, meet=meet,
+            loss_variant=loss_variant, ldam_margins=ldam_m,
         )
     else:
         raw_step = make_train_step(
@@ -389,6 +465,7 @@ def train(cfg, logger):
             batch_size_per_image=cfg.relation.batch_size_per_image,
             positive_fraction=cfg.relation.positive_fraction,
             mode=cfg.relation.mode, mesh=mesh, meet=meet,
+            loss_variant=loss_variant, ldam_margins=ldam_m,
         )
     step_fn = shard_train_step(raw_step, mesh)
 
@@ -403,9 +480,7 @@ def train(cfg, logger):
 
     meters = MetricLogger()
     writer = JSONLWriter(cfg.output_dir)
-    evaluator = SGGEvaluator(
-        mode=cfg.relation.mode, num_rel_classes=cfg.relation.num_classes
-    )
+    evaluator = make_sgg_evaluator(cfg, train_ds, val_ds)
     eval_fn = None
 
     t_prev = time.time()
@@ -438,7 +513,9 @@ def train(cfg, logger):
                 eval_fn = make_eval_fn(cfg, model)
             agg = run_validation(cfg, model, state, val_gen, evaluator, eval_fn)
             mr100 = agg["mR"][100]
-            logger.info(f"validation @ {it + 1}: mR@100 {mr100:.4f}")
+            logger.info(
+                f"validation @ {it + 1}:\n{evaluator.summary_string()}"
+            )
             writer.write(it + 1, {"val_mR100": mr100})
             ctrl.report_validation(mr100)  # plateau signal (reference :559-563)
             if ctrl.should_stop:

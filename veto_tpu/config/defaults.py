@@ -82,6 +82,12 @@ class RelationConfig:
     beta: float = 0.999
     use_bias: bool = False
     label_smoothing: bool = False
+    # relation loss variant (the reference's RelationLossComputation
+    # branches, loss.py:13-120): weighted_ce | label_smoothing | ldam |
+    # balanced_norm.  label_smoothing=True above is honored as an alias.
+    loss_variant: str = "weighted_ce"
+    ldam_max_m: float = 0.5
+    ldam_s: float = 30.0
     # causal analysis (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
     causal_effect_type: str = "none"  # none | TDE | NIE | TE
     causal_fusion_type: str = "sum"   # sum | gate
@@ -219,6 +225,17 @@ class TestConfig:
     relation_require_overlap: bool = False
     sync_gather: bool = True
     iou_threshold: float = 0.5
+    # zero-shot recall over triples unseen in training (the reference always
+    # evaluates zR via its shipped zeroshot_triplet.pytorch; here the set is
+    # derived from the datasets and cached — sgg_eval.py:346-366)
+    zeroshot_eval: bool = True
+    # optional path to the reference's zeroshot_triplet.pytorch (original
+    # predicate order — only valid with data.reorder_freq_based=false)
+    zeroshot_file: str = ""
+    # head/body/tail recall splits (LONGTAIL_PART_DICT, defaults.py:545-548)
+    longtail_eval: bool = True
+    # stage-wise diagnostic recall (SGStagewiseRecall, sgg_eval.py:582-1207)
+    stagewise_eval: bool = False
 
 
 @dataclass

@@ -52,6 +52,9 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     rng: jax.Array
+    # loss-variant running state (e.g. BalancedNorm labeling probability);
+    # None for stateless variants
+    loss_state: Any = None
 
 
 def create_train_state(
@@ -110,17 +113,45 @@ def _binary_loss(bi_preds, binary_rel, box_mask):
     return (bce * m2).sum() / jnp.maximum(m2.sum(), 1.0)
 
 
-def _rel_losses(meet, cw, step_rng, rel_logits, labels, mask):
-    """Relation loss dict: plain weighted CE, or MEET routed group CEs."""
-    if meet is None:
-        return {"rel_loss": weighted_ce_loss(rel_logits, labels, mask, cw)}
-    from veto_tpu.models.relation.predictor_meet import meet_losses
+def _rel_losses(meet, cw, step_rng, rel_logits, labels, mask,
+                loss_variant="weighted_ce", ldam_m=None, loss_state=None):
+    """Relation loss dict + new loss state.
 
-    return meet_losses(
-        jax.random.fold_in(step_rng, 1), rel_logits, labels, mask,
-        jnp.asarray(meet.incre_idx), jnp.asarray(meet.sample_rate),
-        meet.group_sizes,
-    )
+    Variants (reference loss.py:13-120 RelationLossComputation branches —
+    constructed but unwired there; here selectable via config):
+      weighted_ce      — (beta-)weighted CE (the VETO in-predictor loss)
+      label_smoothing  — Label_Smoothing_Regression e=0.01 (:71-72)
+      ldam             — LDAMLoss margins + weighted CE (:99-120, :311-333)
+      balanced_norm    — BalancedNorm1d re-normalized NLL (:73-98)
+    MEET routing overrides the variant (losses are per-group CEs).
+    """
+    if meet is not None:
+        from veto_tpu.models.relation.predictor_meet import meet_losses
+
+        return meet_losses(
+            jax.random.fold_in(step_rng, 1), rel_logits, labels, mask,
+            jnp.asarray(meet.incre_idx), jnp.asarray(meet.sample_rate),
+            meet.group_sizes,
+        ), loss_state
+    if loss_variant == "label_smoothing":
+        from veto_tpu.ops.losses import label_smoothing_ce
+
+        return {"rel_loss": label_smoothing_ce(
+            rel_logits, jnp.where(mask, labels, 0), mask=mask)}, loss_state
+    if loss_variant == "ldam":
+        from veto_tpu.ops.losses import ldam_loss
+
+        return {"rel_loss": ldam_loss(
+            rel_logits, labels, mask, ldam_m, class_weights=cw)}, loss_state
+    if loss_variant == "balanced_norm":
+        from veto_tpu.ops.losses import balanced_norm_nll, balanced_norm_probs
+
+        probs_norm, new_prob = balanced_norm_probs(
+            rel_logits, labels, mask, loss_state, train=True,
+        )
+        return {"rel_loss": balanced_norm_nll(
+            probs_norm, labels, mask, cw)}, new_prob
+    return {"rel_loss": weighted_ce_loss(rel_logits, labels, mask, cw)}, loss_state
 
 
 def make_train_step(
@@ -132,9 +163,12 @@ def make_train_step(
     mode: str = "predcls",
     mesh: Optional[Mesh] = None,
     meet=None,
+    loss_variant: str = "weighted_ce",
+    ldam_margins: Optional[np.ndarray] = None,
 ) -> Callable[[TrainState, SGGBatch, jnp.ndarray], tuple]:
     """Build the jitted train step: (state, batch, lr_scale) → (state, metrics)."""
     cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
+    ldam_m = None if ldam_margins is None else jnp.asarray(ldam_margins)
 
     def constrain_pairs(tree):
         """Shard the sampled-pair axis over mesh axis 'pair' (SURVEY.md §5)."""
@@ -173,8 +207,9 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            losses = _rel_losses(
-                meet, cw, step_rng, _rel_out(out), samples.labels, samples.mask
+            losses, new_loss_state = _rel_losses(
+                meet, cw, step_rng, _rel_out(out), samples.labels,
+                samples.mask, loss_variant, ldam_m, state.loss_state,
             )
             bp = getattr(out, "binary_preds", None)
             if bp is not None:
@@ -197,9 +232,9 @@ def make_train_step(
                 )
                 losses["obj_loss"] = obj_loss
             total = sum(losses.values())
-            return total, (losses, mutated["batch_stats"])
+            return total, (losses, mutated["batch_stats"], new_loss_state)
 
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
+        (total, (losses, new_stats, new_loss_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
@@ -216,6 +251,7 @@ def make_train_step(
             params=params,
             batch_stats=new_stats,
             opt_state=opt_state,
+            loss_state=new_loss_state,
         )
         return new_state, metrics
 
@@ -355,6 +391,8 @@ def make_sgdet_train_step(
     require_overlap: bool = False,
     mesh: Optional[Mesh] = None,
     meet=None,
+    loss_variant: str = "weighted_ce",
+    ldam_margins: Optional[np.ndarray] = None,
 ):
     """sgdet train step: frozen detection cascade → pair sampling → relation.
 
@@ -367,6 +405,7 @@ def make_sgdet_train_step(
     sampler consumes GT-assigned labels (sampling.py:126-128).
     """
     cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
+    ldam_m = None if ldam_margins is None else jnp.asarray(ldam_margins)
 
     def train_step(state: TrainState, batch: SGGBatch, lr_scale: jnp.ndarray):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -410,8 +449,9 @@ def make_sgdet_train_step(
                 image_sizes=sizes, boxes_per_cls=dets.boxes_per_cls,
                 pred_labels=dets.labels,
             )
-            losses = _rel_losses(
-                meet, cw, step_rng, _rel_out(out), samples.labels, samples.mask
+            losses, new_loss_state = _rel_losses(
+                meet, cw, step_rng, _rel_out(out), samples.labels,
+                samples.mask, loss_variant, ldam_m, state.loss_state,
             )
             bp = getattr(out, "binary_preds", None)
             if bp is not None:
@@ -426,9 +466,9 @@ def make_sgdet_train_step(
                 out.obj_dists, gt_labels, dets.mask, None
             )
             total = sum(losses.values())
-            return total, (losses, mutated["batch_stats"])
+            return total, (losses, mutated["batch_stats"], new_loss_state)
 
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
+        (total, (losses, new_stats, new_loss_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
@@ -442,7 +482,7 @@ def make_sgdet_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
             step=state.step + 1, params=params, batch_stats=new_stats,
-            opt_state=opt_state,
+            opt_state=opt_state, loss_state=new_loss_state,
         )
         return new_state, metrics
 

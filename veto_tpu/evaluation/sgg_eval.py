@@ -30,7 +30,7 @@ Matching semantics preserved exactly:
 from __future__ import annotations
 
 from functools import reduce
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -124,9 +124,38 @@ def match_triplets(
 
 
 def _union_upto(pred_to_gt: Sequence[Sequence[int]], k: int) -> np.ndarray:
-    if len(pred_to_gt) == 0:
+    if len(pred_to_gt) == 0 or k <= 0:
         return np.array([], dtype=np.int64)
-    return reduce(np.union1d, pred_to_gt[:k]) if k > 0 else np.array([])
+    # reduce() with a single element returns it untouched (a plain list)
+    return np.asarray(reduce(np.union1d, pred_to_gt[:k]), dtype=np.int64)
+
+
+# Head/body/tail split of the VG-50 predicate vocabulary in ORIGINAL
+# (alphabetical) predicate order; index 0 is background
+# (reference defaults.py:545-548 LONGTAIL_PART_DICT).
+VG_LONGTAIL_PART_DICT: Tuple[Optional[str], ...] = (
+    None, "b", "t", "t", "t", "t", "t", "t", "b", "t", "t", "t", "t", "t",
+    "t", "t", "t", "t", "t", "t", "h", "b", "b", "b", "t", "t", "t", "t",
+    "t", "b", "h", "h", "t", "t", "t", "t", "t", "t", "b", "t", "b", "b",
+    "t", "b", "t", "t", "t", "t", "h", "b", "b",
+)
+
+
+def vg_longtail_parts(reordered: bool = True) -> List[Optional[str]]:
+    """The VG part dict permuted for the active predicate id space.
+
+    With REORDER_FREQ_BASED (the VETO default) predicate ids are frequency
+    ranks; the static dict above is in original order, so remap via
+    predicate_new_order (the reference applies the dict un-permuted — a
+    sloppiness we do not reproduce)."""
+    if not reordered:
+        return list(VG_LONGTAIL_PART_DICT)
+    from veto_tpu.data.predicate_stats import VG_PREDICATE_NEW_ORDER
+
+    out: List[Optional[str]] = [None] * len(VG_LONGTAIL_PART_DICT)
+    for old_id, part in enumerate(VG_LONGTAIL_PART_DICT):
+        out[VG_PREDICATE_NEW_ORDER[old_id]] = part
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -154,6 +183,8 @@ class SGGEvaluator:
         iou_thres: float = 0.5,
         zeroshot_triplets: Optional[np.ndarray] = None,
         nogc_top: int = 100,
+        longtail_parts: Optional[Sequence[Optional[str]]] = None,
+        stagewise: bool = False,
     ):
         if mode not in ("predcls", "sgcls", "sgdet", "phrdet"):
             raise ValueError(f"invalid mode {mode}")
@@ -164,6 +195,15 @@ class SGGEvaluator:
         self.iou_thres = iou_thres
         self.zeroshot_triplets = zeroshot_triplets
         self.nogc_top = nogc_top
+        # 'h'/'b'/'t' per predicate id (index 0 = background, ignored) —
+        # reference LONGTAIL_PART_DICT (defaults.py:545-548)
+        self.longtail_parts = (
+            list(longtail_parts) if longtail_parts is not None else None
+        )
+        self.stagewise = (
+            StagewiseEvaluator(mode, num_rel_classes, ks, iou_thres)
+            if stagewise else None
+        )
         self.reset()
 
     def reset(self):
@@ -177,6 +217,8 @@ class SGGEvaluator:
         self.mean_recall_collect = {k: [[] for _ in range(self.num_rel)] for k in ks}
         self.ng_mean_recall_collect = {k: [[] for _ in range(self.num_rel)] for k in ks}
         self.num_images = 0
+        if self.stagewise is not None:
+            self.stagewise.reset()
 
     # ------------------------------------------------------------------
     def add_image(
@@ -205,6 +247,12 @@ class SGGEvaluator:
             pred_boxes = gt_boxes
             pred_classes = gt_classes
             obj_scores = np.ones(gt_classes.shape[0])
+
+        if self.stagewise is not None and pred_rel_inds.shape[0] > 0:
+            self.stagewise.add_image(
+                gt_boxes, gt_classes, gt_rels, pred_boxes, pred_classes,
+                pred_rel_inds, rel_scores,
+            )
 
         # ---------------- pair accuracy bookkeeping (predcls/sgcls)
         if self.mode != "sgdet" and self.mode != "phrdet":
@@ -330,6 +378,21 @@ class SGGEvaluator:
                 out["A"][k] = float(
                     np.mean(self.accuracy_hit[k]) / np.mean(self.accuracy_count[k])
                 )
+        if self.longtail_parts is not None:
+            # head/body/tail split of the per-class mR list
+            # (reference vg_eval.py longtail_part_eval:190-206: cate_rec_list
+            # index idx maps to predicate id idx + 1)
+            out["longtail"] = {}
+            for k in self.ks:
+                buckets: Dict[str, List[float]] = {"h": [], "b": [], "t": []}
+                for idx, rec in enumerate(out["mR_per_class"][k]):
+                    part = self.longtail_parts[idx + 1]
+                    if part in buckets:
+                        buckets[part].append(rec)
+                out["longtail"][k] = {
+                    part: (float(np.mean(v)) if v else 0.0)
+                    for part, v in buckets.items()
+                }
         return out
 
     def summary_string(self) -> str:
@@ -340,7 +403,28 @@ class SGGEvaluator:
             if vals:
                 body = "; ".join(f"{name}@{k}: {v:.4f}" for k, v in sorted(vals.items()))
                 lines.append("  " + body)
+        if "longtail" in agg:
+            lines.append("longtail part recall:")
+            for k, parts in sorted(agg["longtail"].items()):
+                lines.append(
+                    f"  Top{k:4}: head: {parts['h']:.4f} body: {parts['b']:.4f} "
+                    f"tail: {parts['t']:.4f}"
+                )
+        if self.stagewise is not None:
+            lines.append(self.stagewise.summary_string())
         return "\n".join(lines)
+
+
+def load_zeroshot_triplets_file(path: str) -> np.ndarray:
+    """Load the reference's serialized zero-shot triplet tensor
+    (``zeroshot_triplet.pytorch``, rows = (s_cls, o_cls, predicate) in the
+    ORIGINAL VG predicate order — usable only when REORDER_FREQ_BASED is
+    off; with reorder on, derive via :func:`compute_zeroshot_triplets`)."""
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=False)
+    arr = np.asarray(t, dtype=np.int64).reshape(-1, 3)
+    return arr
 
 
 def compute_zeroshot_triplets(train_dataset, eval_dataset) -> np.ndarray:
@@ -364,3 +448,144 @@ def compute_zeroshot_triplets(train_dataset, eval_dataset) -> np.ndarray:
     seen = triplet_set(train_dataset)
     unseen = sorted(triplet_set(eval_dataset) - seen)
     return np.asarray(unseen, dtype=np.int64).reshape(-1, 3)
+
+
+# ----------------------------------------------------------------------
+# stage-wise diagnostic recall (reference sgg_eval.py SGStagewiseRecall
+# :582-1207)
+# ----------------------------------------------------------------------
+class StagewiseEvaluator:
+    """Where in the pipeline do ground-truth relations get lost?
+
+    Per top-K relation prediction set, four progressively stricter hit
+    criteria against each GT relation (sgg_eval.py:1085-1205):
+
+      pair_loc  — subject and object boxes both located (IoU ≥ thres);
+      pair_det  — located AND class-matched;
+      pred_cls  — pair located AND predicate classified correctly;
+      rel_hit   — pair detected AND predicate correct (the full triplet).
+
+    Plus instance-level locate/detect recall (:853-858) and the effective-
+    union-pair statistics over the full candidate pair list (:949-962).
+    The reference expands every prediction pair into all combinations of
+    matched GT boxes (dump_hit_indx_dict_to_tensor) before intersecting
+    with the GT pair list; that expansion is equivalent to the dense
+    (pred_pair × gt_rel) match matrices computed here.
+
+    The rel-PN AP/AUC diagnostics (:963-1082) require per-iteration
+    relness scores and are intentionally out of scope.
+    """
+
+    def __init__(self, mode: str, num_rel_classes: int,
+                 ks: Sequence[int] = (20, 50, 100), iou_thres: float = 0.5):
+        self.mode = mode
+        self.num_rel = num_rel_classes
+        self.ks = tuple(ks)
+        self.iou_thres = iou_thres
+        self.hit_types = ("pair_loc", "pair_det", "pred_cls", "rel_hit")
+        self.reset()
+
+    def reset(self):
+        self.recall = {t: {k: [] for k in self.ks} for t in self.hit_types}
+        self.inst_loc_recall: List[float] = []
+        self.inst_det_recall: List[float] = []
+        self.eff_pair_rate: List[float] = []
+        self.eff_pair_range: List[float] = []
+        # per-class (K, C, 2) tables: [:, :, 0] images-with-class-hit,
+        # [:, :, 1] images-with-class-present (the reference's indexed +=
+        # collapses duplicate class ids — :1177-1186)
+        self.per_cls_hit = {
+            t: np.zeros((len(self.ks), self.num_rel, 2), np.int64)
+            for t in self.hit_types
+        }
+
+    def add_image(
+        self,
+        gt_boxes: np.ndarray,
+        gt_classes: np.ndarray,
+        gt_rels: np.ndarray,
+        pred_boxes: np.ndarray,
+        pred_classes: np.ndarray,
+        pred_rel_inds: np.ndarray,
+        rel_scores: np.ndarray,
+    ) -> None:
+        gt_rels = np.asarray(gt_rels)
+        num_gt = float(gt_rels.shape[0])
+        if num_gt == 0:
+            return
+        if self.mode == "predcls":
+            pred_boxes = gt_boxes
+            pred_classes = gt_classes
+
+        iou = np_iou(np.asarray(pred_boxes, np.float64),
+                     np.asarray(gt_boxes, np.float64))
+        loc = iou >= self.iou_thres                           # (Pb, Gb)
+        det = loc & (np.asarray(pred_classes)[:, None]
+                     == np.asarray(gt_classes)[None, :])
+
+        self.inst_loc_recall.append(loc.any(0).sum() / (len(gt_boxes) + 1e-6))
+        self.inst_det_recall.append(det.any(0).sum() / (len(gt_boxes) + 1e-6))
+
+        ps = np.asarray(pred_rel_inds)[:, 0]
+        po = np.asarray(pred_rel_inds)[:, 1]
+        grs, gro, grp = gt_rels[:, 0], gt_rels[:, 1], gt_rels[:, 2]
+        pred_label = 1 + rel_scores[:, 1:].argmax(1)
+
+        loc_pairs = loc[ps][:, grs] & loc[po][:, gro]         # (P, R)
+        det_pairs = det[ps][:, grs] & det[po][:, gro]
+        pred_eq = pred_label[:, None] == grp[None, :]
+        hits = {
+            "pair_loc": loc_pairs,
+            "pair_det": det_pairs,
+            "pred_cls": loc_pairs & pred_eq,
+            "rel_hit": det_pairs & pred_eq,
+        }
+
+        # effective union pairs over the whole candidate list (:949-962)
+        self.eff_pair_rate.append(loc_pairs.sum() / (len(ps) + 1e-5))
+        hit_rows = np.repeat(np.arange(len(ps)), loc_pairs.sum(1))
+        self.eff_pair_range.append(
+            float(np.percentile(hit_rows, 95)) if len(hit_rows) else float(len(ps))
+        )
+
+        present = np.unique(grp)
+        for ki, k in enumerate(self.ks):
+            for t in self.hit_types:
+                gt_hit = hits[t][:k].any(0)
+                self.recall[t][k].append(gt_hit.sum() / (num_gt + 1e-5))
+                self.per_cls_hit[t][ki, np.unique(grp[gt_hit]), 0] += 1
+                self.per_cls_hit[t][ki, present, 1] += 1
+
+    def aggregate(self) -> Dict[str, Dict]:
+        out: Dict[str, Dict] = {
+            t: {k: (float(np.mean(v)) if v else 0.0) for k, v in kv.items()}
+            for t, kv in self.recall.items()
+        }
+        out["instances"] = {
+            "loc": float(np.mean(self.inst_loc_recall)) if self.inst_loc_recall else 0.0,
+            "det": float(np.mean(self.inst_det_recall)) if self.inst_det_recall else 0.0,
+        }
+        out["effective_pairs"] = {
+            "rate": float(np.mean(self.eff_pair_rate)) if self.eff_pair_rate else 0.0,
+            "range_p85": float(np.percentile(self.eff_pair_range, 85))
+            if self.eff_pair_range else 0.0,
+        }
+        return out
+
+    def summary_string(self) -> str:
+        agg = self.aggregate()
+        lines = ["SGG Stagewise Recall:"]
+        for t in self.hit_types:
+            body = "; ".join(
+                f"R @ {k}: {agg[t][k]:.4f}" for k in self.ks
+            )
+            lines.append(f"  {body}  type={t}")
+        lines.append(
+            f"  instances locating: {agg['instances']['loc']:.4f} "
+            f"detection: {agg['instances']['det']:.4f}"
+        )
+        lines.append(
+            f"  effective union pairs rate: {agg['effective_pairs']['rate']:.3f} "
+            f"range(p85): {agg['effective_pairs']['range_p85']:.0f}"
+        )
+        return "\n".join(lines)
