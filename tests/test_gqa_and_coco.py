@@ -119,3 +119,92 @@ def test_coco_map_missing_class_counts_zero():
     ev.add_image(gt, np.array([2]), np.zeros((0, 4)), np.zeros(0, int), np.zeros(0))
     agg = ev.aggregate()
     assert agg["AP50"] == pytest.approx(0.5)  # mean over classes 1 (AP 1) and 2 (AP 0)
+
+
+# ----------------------------------------------------------------------
+# COCO detection dataset (veto_tpu/data/coco.py vs reference coco.py)
+# ----------------------------------------------------------------------
+@pytest.fixture
+def coco_dir(tmp_path):
+    import json
+
+    from PIL import Image
+
+    img_dir = tmp_path / "train2017"
+    img_dir.mkdir()
+    for name in ("a.jpg", "b.jpg", "c.jpg"):
+        Image.new("RGB", (40, 30), (128, 64, 32)).save(img_dir / name)
+    ann = {
+        "images": [
+            {"id": 7, "file_name": "a.jpg", "width": 40, "height": 30},
+            {"id": 3, "file_name": "b.jpg", "width": 40, "height": 30},
+            {"id": 9, "file_name": "c.jpg", "width": 40, "height": 30},
+        ],
+        # non-contiguous json category ids (real COCO skips ids)
+        "categories": [
+            {"id": 11, "name": "cat"},
+            {"id": 2, "name": "dog"},
+            {"id": 55, "name": "bird"},
+        ],
+        "annotations": [
+            # image 3: one valid box + a crowd box (filtered)
+            {"id": 1, "image_id": 3, "category_id": 2,
+             "bbox": [5, 5, 10, 12], "iscrowd": 0},
+            {"id": 2, "image_id": 3, "category_id": 11,
+             "bbox": [0, 0, 20, 20], "iscrowd": 1},
+            # image 7: two valid boxes, one exceeding the image (clipped)
+            {"id": 3, "image_id": 7, "category_id": 55,
+             "bbox": [2, 2, 8, 8], "iscrowd": 0},
+            {"id": 4, "image_id": 7, "category_id": 11,
+             "bbox": [30, 20, 50, 50], "iscrowd": 0},
+            # image 9: only a degenerate box → image dropped
+            {"id": 5, "image_id": 9, "category_id": 2,
+             "bbox": [1, 1, 1, 0.5], "iscrowd": 0},
+        ],
+    }
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    with open(ann_dir / "instances_train2017.json", "w") as f:
+        json.dump(ann, f)
+    return tmp_path
+
+
+def test_coco_dataset_protocol(coco_dir):
+    from veto_tpu.data.coco import COCODetDataset
+
+    ds = COCODetDataset(
+        ann_file=str(coco_dir / "annotations" / "instances_train2017.json"),
+        img_dir=str(coco_dir / "train2017"),
+    )
+    # image 9 dropped (only degenerate box); ids sorted → [3, 7]
+    assert len(ds) == 2
+    assert ds.filenames == ["b.jpg", "a.jpg"]
+    # contiguous 1-based labels in sorted-json-id order: 2→1, 11→2, 55→3
+    assert ds.json_to_contiguous == {2: 1, 11: 2, 55: 3}
+    rec0 = ds.get_groundtruth(0)
+    assert list(rec0["labels"]) == [1]  # crowd filtered, dog → 1
+    np.testing.assert_allclose(rec0["boxes"][0], [5, 5, 14, 16])  # w-1 conv
+    rec1 = ds.get_groundtruth(1)
+    # second box clipped to image bounds
+    np.testing.assert_allclose(rec1["boxes"][1], [30, 20, 39, 29])
+    assert rec1["rel_tuples"].shape == (0, 3)
+    img = ds.load_image(0)
+    assert img.shape == (30, 40, 3)
+
+
+def test_build_dataset_dispatch(coco_dir, tmp_path, monkeypatch):
+    """COCO and OI dataset names route to the right reader (VERDICT #8:
+    every dataset the readers support must be reachable from the tools)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from relation_train_net import build_dataset
+
+    from veto_tpu.config.defaults import Config
+    from veto_tpu.data.coco import COCODetDataset
+
+    cfg = Config()
+    cfg.data.data_dir = str(coco_dir)
+    cfg.data.dataset = "COCO2017"
+    ds = build_dataset(cfg, "train")
+    assert isinstance(ds, COCODetDataset) and len(ds) == 2

@@ -98,7 +98,10 @@ def train(cfg, logger):
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     logger.info(f"detector init: {n_params / 1e6:.2f}M params")
 
-    mesh = make_mesh(data=len(jax.devices()), pair=1)
+    import math
+
+    ndev = len(jax.devices())
+    mesh = make_mesh(data=math.gcd(ndev, cfg.solver.ims_per_batch), pair=1)
     step_fn = shard_train_step(
         make_detector_train_step(
             model, tx,

@@ -1,0 +1,154 @@
+"""Profile the flagship train step: trace dump + component breakdown.
+
+Replaces the reference's ad-hoc Timer pairs / CUDA max-mem logging
+(SURVEY.md §5 tracing) with two reproducible artifacts:
+
+  * a jax-profiler trace (``--trace DIR``) viewable in TensorBoard /
+    Perfetto — this is how the BASELINE.md step breakdowns are produced;
+  * a fenced wall-clock breakdown of the step's stages (backbone, depth
+    backbone, ROI pooling, pair transformer, full fwd+bwd), each timed as
+    its own jitted program over the same shapes.
+
+Usage:
+  python tools/profile_step.py [--trace /tmp/trace] [--batch 8]
+      [--steps 10] [--pairs 1024] [--hw 800x1344]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def fence(tree):
+    """Host transfer of one scalar leaf — reliable sync on tunneled TPUs."""
+    leaves = jax.tree.leaves(tree)
+    x = leaves[0]
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def timed(fn, *args, steps=5, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default="")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--pairs", type=int, default=1024)
+    ap.add_argument("--hw", default="800x1344")
+    ap.add_argument("--boxes", type=int, default=80)
+    args = ap.parse_args()
+    hw = tuple(int(x) for x in args.hw.split("x"))
+
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import create_train_state, make_train_step
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(dtype=jnp.bfloat16)
+    ds = SyntheticSGGDataset(
+        num_images=args.batch, image_size=hw, max_objects=args.boxes - 1,
+        min_objects=8, max_relations=20, seed=0,
+    )
+    batch, _ = next(ds.batches(batch_size=args.batch, max_boxes=args.boxes))
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batch)
+    pi8 = jnp.zeros((1, 8, 2), jnp.int32)
+    params = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi8, jnp.ones((1, 8), bool),
+        train=False,
+    )["params"]
+    tx = make_optimizer(SolverConfig(), params)
+    state = create_train_state(model, tx, rng, small)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    b = args.batch
+    pair_idx = jnp.zeros((b, args.pairs, 2), jnp.int32)
+    pair_mask = jnp.ones((b, args.pairs), bool)
+
+    # ---- component programs
+    backbone = jax.jit(lambda v, x: model.apply(v, x, method="extract_features"))
+    feats = backbone(variables, batch.images)
+
+    depth_bb = jax.jit(
+        lambda v, d: model.apply(v, d, train=False, method=lambda m, dd, train: m.depth_backbone(dd, train=train))
+    )
+
+    pool = jax.jit(
+        lambda v, f, bx: model.apply(
+            v, f, bx, model.pooler_resolution,
+            method=lambda m, ff, bb, r: m._pool_boxes(ff, bb, r))
+    )
+
+    relate = jax.jit(
+        lambda v, f, d: model.apply(
+            v, f, d, batch.boxes, batch.box_mask, batch.labels,
+            batch.obj_logits, pair_idx, pair_mask, train=False,
+            method="relate",
+        )
+    )
+
+    full = jax.jit(
+        make_train_step(model, tx, None, batch_size_per_image=args.pairs),
+        donate_argnums=(0,),
+    )
+    scale = jnp.asarray(1.0, jnp.float32)
+
+    out = {}
+    out["backbone_fwd_ms"] = timed(backbone, variables, batch.images,
+                                   steps=args.steps) * 1e3
+    out["depth_backbone_fwd_ms"] = timed(depth_bb, variables, batch.depth,
+                                         steps=args.steps) * 1e3
+    out["roi_pool_ms"] = timed(pool, variables, feats, batch.boxes,
+                               steps=args.steps) * 1e3
+    out["relation_fwd_ms"] = timed(relate, variables, feats, batch.depth,
+                                   steps=args.steps) * 1e3
+
+    def step_once(st):
+        st, m = full(st, batch, scale)
+        return st, m
+
+    for _ in range(2):
+        state, metrics = step_once(state)
+    fence(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_once(state)
+    fence(metrics["loss"])
+    out["train_step_ms"] = (time.perf_counter() - t0) / args.steps * 1e3
+    out["train_img_per_sec"] = b / (out["train_step_ms"] / 1e3)
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                state, metrics = step_once(state)
+            fence(metrics["loss"])
+        out["trace_dir"] = args.trace
+
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in out.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

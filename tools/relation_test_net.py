@@ -70,17 +70,33 @@ def main():
         from veto_tpu.evaluation.coco_map import CocoMapEvaluator
 
         coco = CocoMapEvaluator(num_classes=cfg.model.num_obj_classes)
+    oi = None
+    if "OI" in cfg.data.dataset.upper() or "OPEN" in cfg.data.dataset.upper():
+        # Open Images adds weighted-mAP relation/phrase metrics
+        # (reference oi/oi_evaluation.py)
+        from veto_tpu.evaluation.oi_eval import OIEvaluator
+
+        oi = OIEvaluator(num_rel_classes=cfg.relation.num_classes)
     for batch, recs in gen(max_iter=0):
         batch = jax.tree.map(jnp.asarray, batch)
         preds = jax.device_get(step(state, batch))
         accumulate_eval(kind, preds, recs, evaluator,
                         input_sizes=np.asarray(batch.sizes),
-                        coco_evaluator=coco)
+                        coco_evaluator=coco, oi_evaluator=oi)
+    if cfg.test.sync_gather:
+        from veto_tpu.engine.gather import sync_gather_evaluator
+
+        sync_gather_evaluator(evaluator)  # no-op on a single host
     if coco is not None:
         det = coco.aggregate()
         logger.info(
             f"detection mAP {det['mAP']:.4f}  AP50 {det['AP50']:.4f}  "
             f"AP75 {det['AP75']:.4f}"
+        )
+    if oi is not None:
+        oi_agg = oi.aggregate()
+        logger.info(
+            "OI: " + "  ".join(f"{k} {v:.4f}" for k, v in oi_agg.items())
         )
     logger.info("\n" + evaluator.summary_string())
     agg = evaluator.aggregate()

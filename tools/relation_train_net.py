@@ -44,6 +44,32 @@ def build_dataset(cfg, split: str):
             seed=cfg.solver.seed + (0 if split == "train" else 7),
         )
     d = cfg.data.data_dir
+    name = cfg.data.dataset.upper()
+    if "COCO" in name:
+        # detector pretraining on COCO instances (reference coco.py +
+        # paths_catalog.py:14-34 layouts)
+        from veto_tpu.data.coco import COCODetDataset
+
+        year = "2017" if "2017" in name or "201" not in name else "2014"
+        coco_split = "train" if split == "train" else "val"
+        return COCODetDataset(
+            ann_file=os.path.join(
+                d, "annotations", f"instances_{coco_split}{year}.json"),
+            img_dir=os.path.join(d, f"{coco_split}{year}"),
+        )
+    if "OI" in name or "OPEN" in name:
+        # Open Images VRD (reference open_image.py + paths_catalog.py:126-137)
+        from veto_tpu.data.open_image import OIDataset
+
+        oi_split = {"train": "train", "val": "val", "test": "test"}[split]
+        return OIDataset(
+            oi_split,
+            ann_file=os.path.join(d, "annotations", f"vrd-{oi_split}-anno.json"),
+            cate_info_file=os.path.join(d, "annotations", "categories_dict.json"),
+            img_dir=os.path.join(d, "images"),
+            filter_duplicate_rels=cfg.data.filter_duplicate_relations,
+            seed=cfg.solver.seed,
+        )
     if "GQA" in cfg.data.dataset:
         from veto_tpu.data.gqa import GQADataset
 
@@ -247,12 +273,34 @@ def make_eval_fn(cfg, model):
     return jax.jit(make_eval_step(model, max_pairs=mp)), "gtbox"
 
 
+def _feed_oi(oi_evaluator, rec, pred_boxes, classes, scores, pair_idx,
+             rel_scores):
+    """One image into the Open Images wmAP evaluator (oi_eval.py): triplet
+    detections sorted by triple score + GT triplets from the record."""
+    if len(pair_idx) == 0 or len(rec["rel_tuples"]) == 0:
+        return
+    prd = 1 + rel_scores[:, 1:].argmax(1)
+    trip = rel_scores[:, 1:].max(1) * scores[pair_idx[:, 0]] * scores[pair_idx[:, 1]]
+    order = np.argsort(-trip)
+    si, oi = pair_idx[order, 0], pair_idx[order, 1]
+    gt = np.asarray(rec["rel_tuples"])
+    oi_evaluator.add_image(
+        det_sbj_boxes=pred_boxes[si], det_obj_boxes=pred_boxes[oi],
+        det_sbj_labels=classes[si], det_obj_labels=classes[oi],
+        det_prd_labels=prd[order], det_scores=trip[order],
+        gt_sbj_boxes=rec["boxes"][gt[:, 0]], gt_obj_boxes=rec["boxes"][gt[:, 1]],
+        gt_sbj_labels=rec["labels"][gt[:, 0]],
+        gt_obj_labels=rec["labels"][gt[:, 1]], gt_prd_labels=gt[:, 2],
+    )
+
+
 def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None,
-                    coco_evaluator=None):
+                    coco_evaluator=None, oi_evaluator=None):
     """Feed one batch of padded predictions into the NumPy evaluator(s).
 
     ``coco_evaluator`` (sgdet only) additionally collects detections for the
-    COCO bbox mAP pass (reference vg_eval.py:67-182)."""
+    COCO bbox mAP pass (reference vg_eval.py:67-182); ``oi_evaluator``
+    collects triplet detections for Open Images wmAP_rel/phr."""
     if kind == "meet":
         preds, boxes, det_mask = preds_out
         for i, rec in enumerate(recs):
@@ -269,6 +317,10 @@ def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None,
                 preds.obj_labels[i][dm], preds.obj_scores[i][dm],
                 remap[preds.pair_idx[i][pm]], preds.rel_scores[i][pm],
             )
+            if oi_evaluator is not None:
+                _feed_oi(oi_evaluator, rec, pred_boxes,
+                         preds.obj_labels[i][dm], preds.obj_scores[i][dm],
+                         remap[preds.pair_idx[i][pm]], preds.rel_scores[i][pm])
         return
     if kind == "sgdet":
         preds = preds_out
@@ -291,6 +343,10 @@ def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None,
                     rec["boxes"], rec["labels"], pred_boxes,
                     preds.obj_labels[i][dm], preds.obj_scores[i][dm],
                 )
+            if oi_evaluator is not None:
+                _feed_oi(oi_evaluator, rec, pred_boxes,
+                         preds.obj_labels[i][dm], preds.obj_scores[i][dm],
+                         remap[preds.pair_idx[i][pm]], preds.rel_scores[i][pm])
         return
     preds = preds_out
     for i, rec in enumerate(recs):
@@ -301,6 +357,10 @@ def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None,
             preds.obj_labels[i][:n], preds.obj_scores[i][:n],
             preds.pair_idx[i][pm], preds.rel_scores[i][pm],
         )
+        if oi_evaluator is not None:
+            _feed_oi(oi_evaluator, rec, rec["boxes"],
+                     preds.obj_labels[i][:n], preds.obj_scores[i][:n],
+                     preds.pair_idx[i][pm], preds.rel_scores[i][pm])
 
 
 def _scale(rec, input_size):
@@ -374,6 +434,10 @@ def run_validation(cfg, model, state, val_gen, evaluator, eval_fn=None):
         preds = jax.device_get(step(state, batch))
         accumulate_eval(kind, preds, recs, evaluator,
                         input_sizes=np.asarray(batch.sizes))
+    if cfg.test.sync_gather:
+        from veto_tpu.engine.gather import sync_gather_evaluator
+
+        sync_gather_evaluator(evaluator)  # no-op on a single host
     return evaluator.aggregate()
 
 

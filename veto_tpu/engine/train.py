@@ -154,6 +154,27 @@ def _rel_losses(meet, cw, step_rng, rel_logits, labels, mask,
     return {"rel_loss": weighted_ce_loss(rel_logits, labels, mask, cw)}, loss_state
 
 
+def constrain_pair_tree(tree, mesh, ref_shape=None):
+    """Shard the sampled/test-pair axis over mesh axis 'pair' (SURVEY.md §5).
+
+    Applies a (data, pair) sharding constraint to every array in ``tree``
+    whose leading two dims match ``ref_shape`` (default: tree.mask's shape),
+    so the per-pair relation transformer workload is actually partitioned
+    across the 'pair' axis instead of silently replicated by XLA.
+    """
+    if mesh is None or "pair" not in mesh.axis_names:
+        return tree
+    if ref_shape is None:
+        ref_shape = tree.mask.shape[:2]
+    sh = NamedSharding(mesh, P("data", "pair"))
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, sh)
+        if x.ndim >= 2 and x.shape[:2] == tuple(ref_shape)
+        else x,
+        tree,
+    )
+
+
 def make_train_step(
     model,
     tx,
@@ -170,18 +191,6 @@ def make_train_step(
     cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
     ldam_m = None if ldam_margins is None else jnp.asarray(ldam_margins)
 
-    def constrain_pairs(tree):
-        """Shard the sampled-pair axis over mesh axis 'pair' (SURVEY.md §5)."""
-        if mesh is None or "pair" not in mesh.axis_names:
-            return tree
-        sh = NamedSharding(mesh, P("data", "pair"))
-        return jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, sh)
-            if x.ndim >= 2 and x.shape[:2] == tree.mask.shape[:2]
-            else x,
-            tree,
-        )
-
     def train_step(state: TrainState, batch: SGGBatch, lr_scale: jnp.ndarray):
         step_rng = jax.random.fold_in(state.rng, state.step)
         sample_keys = jax.random.split(step_rng, batch.batch_size)
@@ -191,7 +200,7 @@ def make_train_step(
                 positive_fraction=positive_fraction,
             )
         )(sample_keys, batch.rel_matrix, batch.box_mask)
-        samples = constrain_pairs(samples)
+        samples = constrain_pair_tree(samples, mesh)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -258,7 +267,8 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls"):
+def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls",
+                   mesh: Optional[Mesh] = None):
     """Build the jitted eval step: (state, batch) → per-image RelPrediction.
 
     Pairs are the full candidate set (prepare_test_pairs); the result arrays
@@ -270,6 +280,8 @@ def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls"):
         pair_idx, pair_mask = jax.vmap(
             lambda m, s, bx: prepare_test_pairs(m, s, bx, max_pairs=max_pairs)
         )(batch.box_mask, scores, batch.boxes)
+        pair_idx, pair_mask = constrain_pair_tree(
+            (pair_idx, pair_mask), mesh, ref_shape=pair_mask.shape)
 
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -491,7 +503,7 @@ def make_sgdet_train_step(
 
 def make_sgdet_eval_step(
     model, max_pairs: int = 2048, later_nms_thres: float = 0.3,
-    require_overlap: bool = False,
+    require_overlap: bool = False, mesh: Optional[Mesh] = None,
 ):
     """sgdet eval: detect → all-pair enumeration over detections → relation
     → sgdet post-processing (late obj NMS + per-class regression pick)."""
@@ -507,6 +519,8 @@ def make_sgdet_eval_step(
                 m, s, bx, max_pairs=max_pairs, require_overlap=require_overlap
             )
         )(dets.mask, dets.scores, dets.boxes)
+        pair_idx, pair_mask = constrain_pair_tree(
+            (pair_idx, pair_mask), mesh, ref_shape=pair_mask.shape)
 
         out = model.apply(
             variables, det.features, batch.depth, dets.boxes, dets.mask,
