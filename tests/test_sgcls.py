@@ -86,3 +86,25 @@ def test_sgcls_train_and_eval(setup):
     assert 0.0 <= agg["R"][100] <= 1.0
     # predicted labels are in-range and not trivially all background
     assert (preds.obj_labels >= 1).all()
+
+
+def test_sgcls_veto_obj_loss_is_onehot_constant(setup):
+    """Pin the reference quirk: VETO's obj_dists are one-hot of the NMS
+    pred labels (roi_relation_predictors.py:4129-4133), so the sgcls
+    obj_loss is CE of a one-hot vs GT-assigned labels — a step-invariant
+    constant that carries no gradient into the predictor (VERDICT weak #7)."""
+    model, batch, recs, tx, state = setup
+    state = jax.tree.map(jnp.array, state)
+    step = jax.jit(
+        make_train_step(model, tx, None, batch_size_per_image=16, mode="sgcls"),
+        donate_argnums=(0,),
+    )
+    vals = []
+    for _ in range(3):
+        state, metrics = step(state, batch, jnp.asarray(1.0))
+        vals.append(float(metrics["obj_loss"]))
+    # one-hot logits: CE = log(sum exp) - z_y with z in {0,1}; since the
+    # pred labels come from the FROZEN box head on fixed inputs, the value
+    # cannot change across steps
+    assert vals[0] == pytest.approx(vals[1], rel=1e-6)
+    assert vals[1] == pytest.approx(vals[2], rel=1e-6)

@@ -102,6 +102,7 @@ class MeetPredictor(nn.Module):
     mode: str = "predcls"
     dtype: Any = jnp.float32
     remat: bool = True
+    encoder_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -122,7 +123,8 @@ class MeetPredictor(nn.Module):
             patch_size=self.patch_size, depth_proj_dim=self.depth_proj_dim,
             visual_proj_dim=self.visual_proj_dim, mode=self.mode,
             hard_label_embed=True,  # Ensemble embeds the hard label (:3784)
-            dtype=self.dtype, remat=self.remat, name="trunk",
+            dtype=self.dtype, remat=self.remat,
+            encoder_impl=self.encoder_impl, name="trunk",
         )(
             boxes, box_mask, obj_labels, obj_logits, pair_idx, pair_mask,
             roi_features, depth_features, train=train,

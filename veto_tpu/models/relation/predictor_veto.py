@@ -114,6 +114,7 @@ class VetoTrunk(nn.Module):
     hard_label_embed: bool = False
     dtype: Any = jnp.float32
     remat: bool = True
+    encoder_impl: str = "xla"  # 'xla' | 'fused' (Pallas)
 
     @nn.compact
     def __call__(
@@ -193,7 +194,7 @@ class VetoTrunk(nn.Module):
         enc_cls = nn.remat(VetoEncoder) if self.remat else VetoEncoder
         encoder = enc_cls(
             dim=self.dim, layers=self.layers, heads=self.heads, dtype=cdt,
-            name="fusion_transformer",
+            impl=self.encoder_impl, name="fusion_transformer",
         )
         flat_cls = encoder(
             patch_tok.reshape(b * p, -1, self.dim),
@@ -218,6 +219,7 @@ class VetoPredictor(nn.Module):
     mode: str = "predcls"  # predcls | sgcls | sgdet
     dtype: Any = jnp.float32
     remat: bool = True
+    encoder_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -237,7 +239,8 @@ class VetoPredictor(nn.Module):
             dim=self.dim, layers=self.layers, heads=self.heads,
             patch_size=self.patch_size, depth_proj_dim=self.depth_proj_dim,
             visual_proj_dim=self.visual_proj_dim, mode=self.mode,
-            dtype=self.dtype, remat=self.remat, name="trunk",
+            dtype=self.dtype, remat=self.remat,
+            encoder_impl=self.encoder_impl, name="trunk",
         )(
             boxes, box_mask, obj_labels, obj_logits, pair_idx, pair_mask,
             roi_features, depth_features, train=train,
@@ -257,17 +260,52 @@ class VetoEncoder(nn.Module):
 
     Split out from :class:`VetoTransformer` so the predictor can feed
     already-projected patch tokens (the pair-factorized path).
+
+    Layer weights are declared FLAT on this module (``attn{i}_qkv`` etc.,
+    see ``veto_encoder_updates(flat=True)`` for the torch name map) so the
+    same parameters drive either implementation:
+
+      * ``impl='xla'``   — plain jnp layer stack (portable; CPU tests).
+      * ``impl='fused'`` — the fused Pallas kernel (ops/fused_encoder.py):
+        tokens pad once to an 8-aligned count and each layer
+        (LN → qkv → block-diagonal attention → out-proj → LN → FFN) runs
+        VMEM-resident; measured ~1.6x over the XLA lowering on v5e.
     """
 
     dim: int = 576
     layers: int = 6
     heads: int = 6
     dtype: Any = jnp.float32
+    impl: str = "xla"  # 'xla' | 'fused' (Pallas, TPU only)
+
+    def _layer_params(self, i: int):
+        from veto_tpu.ops.fused_encoder import EncoderLayerParams
+
+        d = self.dim
+        lecun = nn.initializers.lecun_normal()
+        return EncoderLayerParams(
+            ln1_scale=self.param(f"attn_norm{i}_scale", nn.initializers.ones,
+                                 (d,), jnp.float32),
+            ln1_bias=self.param(f"attn_norm{i}_bias", nn.initializers.zeros,
+                                (d,), jnp.float32),
+            w_qkv=self.param(f"attn{i}_qkv", lecun, (d, 3 * d), jnp.float32),
+            w_out=self.param(f"attn{i}_out", lecun, (d, d), jnp.float32),
+            b_out=self.param(f"attn{i}_out_bias", nn.initializers.zeros,
+                             (d,), jnp.float32),
+            ln2_scale=self.param(f"ffn_norm{i}_scale", nn.initializers.ones,
+                                 (d,), jnp.float32),
+            ln2_bias=self.param(f"ffn_norm{i}_bias", nn.initializers.zeros,
+                                (d,), jnp.float32),
+            w1=self.param(f"ffn{i}_fc1", lecun, (d, 2 * d), jnp.float32),
+            b1=self.param(f"ffn{i}_fc1_bias", nn.initializers.zeros,
+                          (2 * d,), jnp.float32),
+            w2=self.param(f"ffn{i}_fc2", lecun, (2 * d, d), jnp.float32),
+            b2=self.param(f"ffn{i}_fc2_bias", nn.initializers.zeros,
+                          (d,), jnp.float32),
+        )
 
     @nn.compact
     def __call__(self, patch_tokens, loc_token, cls_token):
-        from .veto_transformer import _FeedForward, _SelfAttention
-
         cls0 = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, self.dim), jnp.float32)
         pos = self.param("pos_embedding", nn.initializers.normal(1.0), (1, 1, self.dim), jnp.float32)
         n = patch_tokens.shape[0]
@@ -281,12 +319,56 @@ class VetoEncoder(nn.Module):
             axis=1,
         )
         x = x + pos.astype(self.dtype)
-        for i in range(self.layers):
-            y = nn.LayerNorm(dtype=self.dtype, name=f"attn_norm{i}")(x)
-            x = _SelfAttention(self.dim, self.heads, dtype=self.dtype, name=f"attn{i}")(y) + x
-            y = nn.LayerNorm(dtype=self.dtype, name=f"ffn_norm{i}")(x)
-            x = _FeedForward(self.dim, self.dim * 2, dtype=self.dtype, name=f"ffn{i}")(y) + x
+        layer_params = [self._layer_params(i) for i in range(self.layers)]
+        t = x.shape[1]
+        if self.impl == "fused":
+            from veto_tpu.ops.fused_encoder import fused_encoder_layer
+
+            d = self.dim
+            t_pad = -(-t // 8) * 8
+            xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+            xp = xp.reshape(n * t_pad, d)
+            for p in layer_params:
+                p16 = type(p)(*[
+                    w.astype(self.dtype) if w.ndim == 2 else w for w in p
+                ])
+                xp = fused_encoder_layer(xp, p16, self.heads, t_pad, t, 8)
+            # CLS token of every pair = row i * t_pad
+            return xp.reshape(n, t_pad, d)[:, 0]
+        # plain-XLA path: identical math, per-pair batched attention
+        for p in layer_params:
+            x = self._xla_layer(x, p)
         return x[:, 0]
+
+    def _xla_layer(self, x, p):
+        from veto_tpu.ops.fused_encoder import _gelu_exact, _ln
+
+        cdt = self.dtype
+        d = self.dim
+        dh = d // self.heads
+        h1 = _ln(x, p.ln1_scale, p.ln1_bias)[0].astype(cdt)
+        qkv = h1 @ p.w_qkv.astype(cdt)
+        scale = dh ** -0.5
+        outs = []
+        for h in range(self.heads):
+            q = qkv[..., h * dh:(h + 1) * dh]
+            k = qkv[..., d + h * dh:d + (h + 1) * dh]
+            v = qkv[..., 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            pr = jax.nn.softmax(s, axis=-1).astype(cdt)
+            outs.append(jax.lax.dot_general(
+                pr, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt))
+        att = jnp.concatenate(outs, axis=-1)
+        x1 = x + (att @ p.w_out.astype(cdt) + p.b_out).astype(cdt)
+        h2 = _ln(x1, p.ln2_scale, p.ln2_bias)[0].astype(cdt)
+        f1 = h2 @ p.w1.astype(cdt) + p.b1
+        g = _gelu_exact(f1.astype(jnp.float32)).astype(cdt)
+        return x1 + (g @ p.w2.astype(cdt) + p.b2).astype(cdt)
 
 
 def weighted_ce_loss(

@@ -28,6 +28,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# attention implementation switch (perf A/B; both are mathematically the
+# softmax(QK^T/sqrt(dh))V attention of model_veto.py:67-98):
+#   "lane"    — unrolled per-head lane slices, no head-axis transpose
+#   "batched" — one einsum pair with (pairs, heads) batch dims
+ATTN_IMPL = "lane"
+
+
 class _SelfAttention(nn.Module):
     """MHSA, qkv without bias + output projection (model_veto.py:67-98)."""
 
@@ -41,11 +48,23 @@ class _SelfAttention(nn.Module):
         dh = d // self.heads
         qkv = nn.Dense(3 * d, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(x)
+        scale = dh ** -0.5
+        if ATTN_IMPL == "batched":
+            n, t = x.shape[:2]
+            q = qkv[..., :d].reshape(n, t, self.heads, dh)
+            k = qkv[..., d:2 * d].reshape(n, t, self.heads, dh)
+            v = qkv[..., 2 * d:].reshape(n, t, self.heads, dh)
+            s = jnp.einsum("bihd,bjhd->bhij", q, k,
+                           preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", p, v,
+                             preferred_element_type=jnp.float32)
+            out = out.astype(self.dtype).reshape(n, t, d)
+            return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         # per-head lane slices instead of a head-axis transpose: on TPU the
         # head split is a contiguous slice of the minor (lane) dimension, so
         # no relayout copies are emitted; the unrolled head loop issues
         # plainly-batched (N, T, dh) x (N, T, dh) matmuls.
-        scale = dh ** -0.5
         outs = []
         for h in range(self.heads):
             q = qkv[..., h * dh:(h + 1) * dh]

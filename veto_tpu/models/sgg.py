@@ -113,6 +113,11 @@ class SGGModel(nn.Module):
     veto_patch_size: int = 2
     veto_depth_proj_dim: int = 512
     veto_visual_proj_dim: int = 64
+    # rematerialize the pair-transformer encoder in backward (memory vs
+    # compute: off saves one full trunk recompute per step)
+    veto_remat: bool = True
+    # encoder implementation: 'xla' (portable) | 'fused' (Pallas, TPU)
+    veto_encoder_impl: str = "xla"
     embed_dim: int = 200
     dtype: Any = jnp.bfloat16
 
@@ -233,6 +238,8 @@ class SGGModel(nn.Module):
                 visual_proj_dim=self.veto_visual_proj_dim,
                 mode=self.mode,
                 dtype=self.dtype,
+                remat=self.veto_remat,
+                encoder_impl=self.veto_encoder_impl,
             )
         else:
             self.relation = VetoPredictor(
@@ -247,6 +254,8 @@ class SGGModel(nn.Module):
                 visual_proj_dim=self.veto_visual_proj_dim,
                 mode=self.mode,
                 dtype=self.dtype,
+                remat=self.veto_remat,
+                encoder_impl=self.veto_encoder_impl,
             )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,408 @@
+"""Fused VETO encoder layer (Pallas TPU kernel).
+
+One kernel computes a full PreNorm transformer layer over a block of
+relation pairs:
+
+    x1 = x + Wout @ MHA(LN1(x))        (attention sub-block)
+    y  = x1 + W2 @ gelu(W1 @ LN2(x1))  (FFN sub-block)
+
+for the VETO pair transformer's tiny 19-token sequences
+(model_veto.py:6-64).  Under plain XLA every arrow above materializes a
+(P, 19, ·) tensor in HBM and the per-pair attention lowers to thousands
+of sub-MXU-tile batched matmuls; measured on v5e this makes the encoder
+~4x slower than its dense-matmul roofline.  Here a block of pairs stays
+in VMEM through the whole layer and attention over the concatenated
+block sequence uses ONE MXU-sized matmul with a block-diagonal mask.
+
+Token layout: the caller pads the token axis once to t_pad = 24 (8-aligned
+sublanes) and keeps x as (P * t_pad, D) 2-D across all layers; pad rows
+flow through harmlessly (the attention mask excludes them as keys, and
+their outputs stay confined to pad rows).
+
+The backward pass recomputes the forward in-kernel (flash-style) and emits
+dx plus the pre-projection gradients (d_qkv, d_attnout, d_ffn1, d_ffn2
+inputs); the weight gradients are then plain roofline-friendly XLA matmuls
+over those — see `_bwd`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INTERPRET = False
+
+_NEG = -1e9
+
+
+class EncoderLayerParams(NamedTuple):
+    """One layer's parameters, all f32 except the big matrices (any dtype)."""
+
+    ln1_scale: jnp.ndarray  # (D,)
+    ln1_bias: jnp.ndarray   # (D,)
+    w_qkv: jnp.ndarray      # (D, 3D)
+    w_out: jnp.ndarray      # (D, D)
+    b_out: jnp.ndarray      # (D,)
+    ln2_scale: jnp.ndarray  # (D,)
+    ln2_bias: jnp.ndarray   # (D,)
+    w1: jnp.ndarray         # (D, F)
+    b1: jnp.ndarray         # (F,)
+    w2: jnp.ndarray         # (F, D)
+    b2: jnp.ndarray         # (D,)
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7 — below
+    bf16 resolution); Mosaic implements neither erf nor erfc."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(z):
+    """0.5 z (1 + erf(z/sqrt(2))) — torch nn.GELU() numerics."""
+    return 0.5 * z * (1.0 + _erf(z * 0.7071067811865476))
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    m = xf.mean(-1, keepdims=True)
+    c = xf - m
+    v = (c * c).mean(-1, keepdims=True)
+    inv = jax.lax.rsqrt(v + eps)
+    return c * inv * scale + bias, c, inv
+
+
+def _mask(rows, t_pad, t_valid):
+    idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    ids = idx // t_pad
+    same = ids == ids.reshape(1, rows)
+    real_key = (idx % t_pad < t_valid).reshape(1, rows)
+    return same & real_key
+
+
+def _attention(qkv, heads, t_pad, t_valid, dtype):
+    """Block-diagonal masked attention over the flattened block sequence."""
+    rows, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    scale = dh ** -0.5
+    mask = _mask(rows, t_pad, t_valid)
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jax.nn.softmax(jnp.where(mask, s, _NEG), axis=-1).astype(dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _fwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
+                w2, b2, y_ref, *, heads, t_pad, t_valid):
+    dtype = x_ref.dtype
+    x = x_ref[:]
+    h1, _, _ = _ln(x, ln1s[:], ln1b[:])
+    h1 = h1.astype(dtype)
+    qkv = jnp.dot(h1, wqkv[:], preferred_element_type=jnp.float32).astype(dtype)
+    att = _attention(qkv, heads, t_pad, t_valid, dtype)
+    a = (jnp.dot(att, wout[:], preferred_element_type=jnp.float32)
+         + bout[:]).astype(dtype)
+    x1 = x + a
+    h2, _, _ = _ln(x1, ln2s[:], ln2b[:])
+    h2 = h2.astype(dtype)
+    f1 = (jnp.dot(h2, w1[:], preferred_element_type=jnp.float32) + b1[:])
+    g = _gelu_exact(f1).astype(dtype)
+    f2 = (jnp.dot(g, w2[:], preferred_element_type=jnp.float32) + b2[:]).astype(dtype)
+    y_ref[:] = x1 + f2
+
+
+def _row_spec(rows, d):
+    return pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _full_spec(*shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _param_specs(p: EncoderLayerParams):
+    return [_full_spec(*w.shape) for w in p]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_encoder_layer(x: jnp.ndarray, params: EncoderLayerParams,
+                        heads: int, t_pad: int, t_valid: int,
+                        block: int = 16) -> jnp.ndarray:
+    """x (P*t_pad, D) → one transformer layer; see module docstring."""
+    return _fwd(x, params, heads, t_pad, t_valid, block)[0]
+
+
+def _fwd(x, params, heads, t_pad, t_valid, block):
+    rows_total, d = x.shape
+    blk = block * t_pad
+    while rows_total % blk:
+        blk //= 2
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=heads, t_pad=t_pad,
+                          t_valid=t_valid),
+        out_shape=jax.ShapeDtypeStruct((rows_total, d), x.dtype),
+        grid=(rows_total // blk,),
+        in_specs=[_row_spec(blk, d)] + _param_specs(params),
+        out_specs=_row_spec(blk, d),
+        interpret=INTERPRET,
+    )(x, *params)
+    return y, (x, params)
+
+
+def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
+                w2, b2, dy_ref,
+                dx_ref, dh1_ref, dqkv_ref, datt_ref, dh2_ref, dg_ref,
+                vd_ref, vf_ref,
+                *, heads, t_pad, t_valid):
+    """Recompute forward, emit dx plus every projection-input gradient.
+
+    The weight gradients are finished OUTSIDE the kernel as dense matmuls
+    (e.g. dWqkv = h1^T dqkv), which XLA runs at roofline; emitting the
+    intermediate grads costs one extra HBM write each but keeps the kernel
+    VMEM budget at weights + a few block tiles.
+    """
+    dtype = x_ref.dtype
+    d = x_ref.shape[-1]
+    dh = d // heads
+    scale = dh ** -0.5
+
+    # ---- recompute forward
+    x = x_ref[:]
+    ln1sv, ln1bv = ln1s[:], ln1b[:]
+    h1f, c1, inv1 = _ln(x, ln1sv, ln1bv)
+    h1 = h1f.astype(dtype)
+    qkv = jnp.dot(h1, wqkv[:], preferred_element_type=jnp.float32).astype(dtype)
+    rows = x.shape[0]
+    mask = _mask(rows, t_pad, t_valid)
+    ps = []
+    att_parts = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jax.nn.softmax(jnp.where(mask, s, _NEG), axis=-1)
+        ps.append(p)
+        att_parts.append(jax.lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype))
+    att = jnp.concatenate(att_parts, axis=-1)
+    a = (jnp.dot(att, wout[:], preferred_element_type=jnp.float32)
+         + bout[:]).astype(dtype)
+    x1 = x + a
+    ln2sv, ln2bv = ln2s[:], ln2b[:]
+    h2f, c2, inv2 = _ln(x1, ln2sv, ln2bv)
+    h2 = h2f.astype(dtype)
+    f1 = jnp.dot(h2, w1[:], preferred_element_type=jnp.float32) + b1[:]
+    g = _gelu_exact(f1)
+    gb = g.astype(dtype)
+
+    # ---- backward
+    dy = dy_ref[:].astype(jnp.float32)
+    # FFN: y = x1 + (g @ w2 + b2)
+    dg = jnp.dot(dy.astype(dtype), w2[:].T,
+                 preferred_element_type=jnp.float32)
+    # exact gelu derivative: Phi(z) + z phi(z)
+    z = f1
+    phi = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+    cdf = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+    df1 = dg * (cdf + z * phi)
+    dh2 = jnp.dot(df1.astype(dtype), w1[:].T,
+                  preferred_element_type=jnp.float32)
+    # LN2 backward (scale ln2s): dh2 -> dx1a
+    dx1a = _ln_bwd(dh2, c2, inv2, ln2sv)
+    dx1 = dy + dx1a
+    # attention out-proj: a = att @ wout + bout
+    datt = jnp.dot(dx1.astype(dtype), wout[:].T,
+                   preferred_element_type=jnp.float32)
+    # attention backward per head → dqkv
+    dqkv_parts_q = []
+    dqkv_parts_k = []
+    dqkv_parts_v = []
+    dattb = datt.astype(dtype)
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        p = ps[h]
+        pb = p.astype(dtype)
+        do = dattb[:, h * dh:(h + 1) * dh]
+        dv = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(dtype)
+        dq = jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_parts_q.append(dq)
+        dqkv_parts_k.append(dk)
+        dqkv_parts_v.append(dv)
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dqkv_parts_q, axis=-1),
+         jnp.concatenate(dqkv_parts_k, axis=-1),
+         jnp.concatenate(dqkv_parts_v, axis=-1)], axis=-1)
+    dh1 = jnp.dot(dqkv.astype(dtype), wqkv[:].T,
+                  preferred_element_type=jnp.float32)
+    dx = dx1 + _ln_bwd(dh1, c1, inv1, ln1sv)
+
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    dh1_ref[:] = h1  # saved activation (not a grad): reused for dWqkv
+    dqkv_ref[:] = dqkv.astype(dqkv_ref.dtype)
+    datt_ref[:] = att  # saved activation for dWout
+    dh2_ref[:] = jnp.concatenate(
+        [h2, dx1.astype(dtype)], axis=-1)  # h2 for dW1 + dx1 for dWout pairing
+    dg_ref[:] = jnp.concatenate(
+        [gb, df1.astype(dtype)], axis=-1)  # g for dW2 + df1 for dW1 pairing
+
+    # ---- vector grads accumulate across grid steps in the constant-index
+    # output blocks (they live in VMEM for the whole grid)
+    xhat1 = c1 * inv1
+    xhat2 = c2 * inv2
+    vd = jnp.stack([
+        (dh1 * xhat1).sum(0),   # d ln1_scale
+        dh1.sum(0),             # d ln1_bias
+        (dh2 * xhat2).sum(0),   # d ln2_scale
+        dh2.sum(0),             # d ln2_bias
+        dx1.sum(0),             # d b_out
+        dy.sum(0),              # d b2
+    ])
+    vf = df1.sum(0).reshape(1, -1)  # d b1
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        vd_ref[:] = vd
+        vf_ref[:] = vf
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        vd_ref[:] += vd
+        vf_ref[:] += vf
+
+
+def _ln_bwd(dout, c, inv, scale):
+    """LayerNorm backward wrt input (f32). c = x - mean, inv = rsqrt(var)."""
+    n = c.shape[-1]
+    xhat = c * inv
+    dxhat = dout * scale
+    return inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+
+
+def _bwd(heads, t_pad, t_valid, block, res, dy):
+    x, params = res
+    rows_total, d = x.shape
+    f = params.w1.shape[1]
+    # backward emits ~6 output tiles per input tile — halve the block so
+    # the pipelined VMEM footprint stays under budget
+    blk = max(block // 2, 1) * t_pad
+    while rows_total % blk:
+        blk //= 2
+    dtype = x.dtype
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, t_pad=t_pad,
+                          t_valid=t_valid),
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, d), dtype),       # dx
+            jax.ShapeDtypeStruct((rows_total, d), dtype),       # h1
+            jax.ShapeDtypeStruct((rows_total, 3 * d), dtype),   # dqkv
+            jax.ShapeDtypeStruct((rows_total, d), dtype),       # att
+            jax.ShapeDtypeStruct((rows_total, 2 * d), dtype),   # [h2, dx1]
+            jax.ShapeDtypeStruct((rows_total, 2 * f), dtype),   # [g, df1]
+            jax.ShapeDtypeStruct((6, d), jnp.float32),          # vector grads
+            jax.ShapeDtypeStruct((1, f), jnp.float32),          # d b1
+        ],
+        grid=(rows_total // blk,),
+        in_specs=[_row_spec(blk, d)] + _param_specs(params)
+        + [_row_spec(blk, d)],
+        out_specs=[
+            _row_spec(blk, d), _row_spec(blk, d), _row_spec(blk, 3 * d),
+            _row_spec(blk, d), _row_spec(blk, 2 * d), _row_spec(blk, 2 * f),
+            _full_spec(6, d), _full_spec(1, f),
+        ],
+        interpret=INTERPRET,
+    )(x, *params, dy)
+    dx, h1, dqkv, att, h2_dx1, g_df1, vd, vf = outs
+    h2 = h2_dx1[:, :d]
+    dx1 = h2_dx1[:, d:]
+    g = g_df1[:, :f]
+    df1 = g_df1[:, f:]
+
+    # ---- weight grads: roofline XLA matmuls over the emitted tensors;
+    # every vector grad was accumulated in-kernel
+    f32 = jnp.float32
+    d_wqkv = jnp.dot(h1.T, dqkv, preferred_element_type=f32)
+    d_wout = jnp.dot(att.T, dx1, preferred_element_type=f32)
+    d_w1 = jnp.dot(h2.T, df1, preferred_element_type=f32)
+    d_w2 = jnp.dot(g.T, dy.astype(dtype), preferred_element_type=f32)
+
+    dparams = EncoderLayerParams(
+        ln1_scale=vd[0].astype(params.ln1_scale.dtype),
+        ln1_bias=vd[1].astype(params.ln1_bias.dtype),
+        w_qkv=d_wqkv.astype(params.w_qkv.dtype),
+        w_out=d_wout.astype(params.w_out.dtype),
+        b_out=vd[4].astype(params.b_out.dtype),
+        ln2_scale=vd[2].astype(params.ln2_scale.dtype),
+        ln2_bias=vd[3].astype(params.ln2_bias.dtype),
+        w1=d_w1.astype(params.w1.dtype),
+        b1=vf[0].astype(params.b1.dtype),
+        w2=d_w2.astype(params.w2.dtype),
+        b2=vd[5].astype(params.b2.dtype),
+    )
+    return dx, dparams
+
+
+fused_encoder_layer.defvjp(_fwd, _bwd)
+
+
+def reference_encoder_layer(x, params: EncoderLayerParams, heads, t_pad,
+                            t_valid):
+    """Plain-XLA layer with identical math, for tests."""
+    dtype = x.dtype
+    h1, _, _ = _ln(x, params.ln1_scale, params.ln1_bias)
+    qkv = (h1.astype(dtype) @ params.w_qkv).astype(dtype)
+    att = _attention(qkv, heads, t_pad, t_valid, dtype)
+    a = (att @ params.w_out + params.b_out).astype(dtype)
+    x1 = x + a
+    h2, _, _ = _ln(x1, params.ln2_scale, params.ln2_bias)
+    f1 = h2.astype(dtype) @ params.w1 + params.b1
+    g = jax.nn.gelu(f1.astype(jnp.float32), approximate=False).astype(dtype)
+    return x1 + (g @ params.w2 + params.b2).astype(dtype)

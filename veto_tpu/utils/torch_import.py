@@ -212,10 +212,13 @@ def _split_patch_columns(w: np.ndarray, channels: int, patch_area: int):
 
 
 def veto_encoder_updates(
-    sd: Dict[str, np.ndarray], src: str, dst: Tuple[str, ...], layers: int = 6
+    sd: Dict[str, np.ndarray], src: str, dst: Tuple[str, ...], layers: int = 6,
+    flat: bool = False,
 ) -> Dict[Tuple[str, ...], np.ndarray]:
     """Map the reference Transformer encoder stack (model_veto.py:28-64)
-    onto a :class:`VetoEncoder`/``VetoTransformer`` param subtree.
+    onto a :class:`VetoEncoder` (``flat=True``: weights declared directly on
+    the module so the XLA and Pallas paths share them) or the nested
+    ``VetoTransformer`` layout.
 
     ``src`` is the torch prefix of the inner ``Transformer`` module (e.g.
     ``fusion_transformer.transformer``), ``dst`` the flax path prefix.
@@ -229,6 +232,19 @@ def veto_encoder_updates(
     put(("pos_embedding",), sd[f"{src}.pos_embedding"])
     for i in range(layers):
         lp = f"{src}.layers.{i}"
+        if flat:
+            put((f"attn_norm{i}_scale",), sd[f"{lp}.0.norm.weight"])
+            put((f"attn_norm{i}_bias",), sd[f"{lp}.0.norm.bias"])
+            put((f"attn{i}_qkv",), _fc(sd[f"{lp}.0.fn.to_qkv.weight"]))
+            put((f"attn{i}_out",), _fc(sd[f"{lp}.0.fn.to_out.0.weight"]))
+            put((f"attn{i}_out_bias",), sd[f"{lp}.0.fn.to_out.0.bias"])
+            put((f"ffn_norm{i}_scale",), sd[f"{lp}.1.norm.weight"])
+            put((f"ffn_norm{i}_bias",), sd[f"{lp}.1.norm.bias"])
+            put((f"ffn{i}_fc1",), _fc(sd[f"{lp}.1.fn.net.0.weight"]))
+            put((f"ffn{i}_fc1_bias",), sd[f"{lp}.1.fn.net.0.bias"])
+            put((f"ffn{i}_fc2",), _fc(sd[f"{lp}.1.fn.net.3.weight"]))
+            put((f"ffn{i}_fc2_bias",), sd[f"{lp}.1.fn.net.3.bias"])
+            continue
         put((f"attn_norm{i}", "scale"), sd[f"{lp}.0.norm.weight"])
         put((f"attn_norm{i}", "bias"), sd[f"{lp}.0.norm.bias"])
         put((f"attn{i}", "to_qkv", "kernel"), _fc(sd[f"{lp}.0.fn.to_qkv.weight"]))
@@ -307,7 +323,7 @@ def veto_relation_param_updates(
 
     out.update(veto_encoder_updates(
         sd, "fusion_transformer.transformer", t + ("fusion_transformer",),
-        layers=layers))
+        layers=layers, flat=True))
 
     if "rel_out.weight" in sd:
         put(("rel_out", "kernel"), _fc(sd["rel_out.weight"]))
