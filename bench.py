@@ -33,8 +33,8 @@ BATCH = 8
 IMAGE_HW = (800, 1344)
 MAX_BOXES = 80
 PAIRS = 1024
-STEPS_WARMUP = 2
-STEPS_MEASURE = 5
+STEPS_WARMUP = 3
+STEPS_MEASURE = 20
 
 
 def main():
@@ -44,7 +44,9 @@ def main():
     from veto_tpu.models.sgg import SGGModel
     from veto_tpu.solver.optim import make_optimizer
 
-    model = SGGModel(dtype=jnp.bfloat16)  # full-size flagship
+    # full-size flagship with the fused Pallas encoder (ops/fused_encoder)
+    model = SGGModel(dtype=jnp.bfloat16, veto_remat=False,
+                     veto_encoder_impl="fused")
     ds = SyntheticSGGDataset(
         num_images=BATCH, image_size=IMAGE_HW, max_objects=MAX_BOXES - 1,
         min_objects=8, max_relations=20, seed=0,
@@ -61,7 +63,10 @@ def main():
         small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
         train=False,
     )["params"]
-    tx = make_optimizer(scfg, params)
+    tx = make_optimizer(
+        scfg, params,
+        frozen_prefixes=("backbone", "rpn", "box_extractor", "box_predictor"),
+    )  # detector frozen exactly as in training
     state = create_train_state(model, tx, rng, small)
 
     step = jax.jit(

@@ -1,0 +1,124 @@
+"""Extended benchmark: train + eval throughput and MFU on one chip.
+
+bench.py stays single-line for the driver; this tool prints the full
+methodology report recorded in BASELINE.md: sustained train-step img/s
+(20 fenced steps, fresh batches), sgdet-budget eval img/s, and MFU from
+the XLA cost model vs the v5e bf16 peak.
+
+Usage: python tools/bench_full.py [--batch 8] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+V5E_BF16_PEAK = 197e12  # FLOP/s per chip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--hw", default="800x1344")
+    ap.add_argument("--pairs", type=int, default=1024)
+    ap.add_argument("--eval-pairs", type=int, default=2048)
+    args = ap.parse_args()
+    hw = tuple(int(v) for v in args.hw.split("x"))
+
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import (
+        create_train_state, make_eval_step, make_train_step,
+    )
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(dtype=jnp.bfloat16, veto_remat=False,
+                     veto_encoder_impl="fused")
+    ds = SyntheticSGGDataset(
+        num_images=args.batch * 2, image_size=hw, max_objects=79,
+        min_objects=8, max_relations=20, seed=0,
+    )
+    batches = []
+    for i, (b, _) in enumerate(ds.batches(batch_size=args.batch, max_boxes=80)):
+        batches.append(jax.tree.map(jnp.asarray, b))
+        if i == 1:
+            break
+
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batches[0])
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    params = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
+        train=False,
+    )["params"]
+    tx = make_optimizer(
+        SolverConfig(), params,
+        frozen_prefixes=("backbone", "rpn", "box_extractor", "box_predictor"),
+    )
+    state = create_train_state(model, tx, rng, small)
+    scale = jnp.asarray(1.0, jnp.float32)
+
+    step = jax.jit(
+        make_train_step(model, tx, None, batch_size_per_image=args.pairs),
+        donate_argnums=(0,),
+    )
+
+    # XLA cost-model FLOPs for the MFU estimate
+    flops = None
+    try:
+        compiled = step.lower(state, batches[0], scale).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    for _ in range(3):
+        state, metrics = step(state, batches[0], scale)
+    _ = float(jax.device_get(metrics["loss"]))
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % len(batches)], scale)
+    _ = float(jax.device_get(metrics["loss"]))
+    dt_train = (time.perf_counter() - t0) / args.steps
+
+    eval_step = jax.jit(make_eval_step(model, max_pairs=args.eval_pairs))
+    for _ in range(2):
+        preds = eval_step(state, batches[0])
+    _ = float(jax.device_get(preds.obj_scores).sum())
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        preds = eval_step(state, batches[i % len(batches)])
+    _ = float(jax.device_get(preds.obj_scores).sum())
+    dt_eval = (time.perf_counter() - t0) / args.steps
+
+    out = {
+        "train_img_per_sec": round(args.batch / dt_train, 2),
+        "eval_img_per_sec": round(args.batch / dt_eval, 2),
+        "train_step_ms": round(dt_train * 1e3, 1),
+        "eval_step_ms": round(dt_eval * 1e3, 1),
+        "batch": args.batch,
+        "pairs": args.pairs,
+        "eval_pairs": args.eval_pairs,
+        "steps_measured": args.steps,
+    }
+    if flops:
+        out["train_step_tflop_xla_cost_model"] = round(flops / 1e12, 2)
+        out["mfu_vs_v5e_bf16_peak"] = round(flops / dt_train / V5E_BF16_PEAK, 4)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -332,7 +332,7 @@ class VetoEncoder(nn.Module):
                 p16 = type(p)(*[
                     w.astype(self.dtype) if w.ndim == 2 else w for w in p
                 ])
-                xp = fused_encoder_layer(xp, p16, self.heads, t_pad, t, 8)
+                xp = fused_encoder_layer(xp, p16, self.heads, t_pad, t, 16, 4)
             # CLS token of every pair = row i * t_pad
             return xp.reshape(n, t_pad, d)[:, 0]
         # plain-XLA path: identical math, per-pair batched attention

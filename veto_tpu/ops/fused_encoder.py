@@ -145,15 +145,15 @@ def _param_specs(p: EncoderLayerParams):
     return [_full_spec(*w.shape) for w in p]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def fused_encoder_layer(x: jnp.ndarray, params: EncoderLayerParams,
                         heads: int, t_pad: int, t_valid: int,
-                        block: int = 16) -> jnp.ndarray:
+                        block: int = 16, bwd_block: int = 4) -> jnp.ndarray:
     """x (P*t_pad, D) → one transformer layer; see module docstring."""
-    return _fwd(x, params, heads, t_pad, t_valid, block)[0]
+    return _fwd(x, params, heads, t_pad, t_valid, block, bwd_block)[0]
 
 
-def _fwd(x, params, heads, t_pad, t_valid, block):
+def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=4):
     rows_total, d = x.shape
     blk = block * t_pad
     while rows_total % blk:
@@ -327,13 +327,13 @@ def _ln_bwd(dout, c, inv, scale):
     )
 
 
-def _bwd(heads, t_pad, t_valid, block, res, dy):
+def _bwd(heads, t_pad, t_valid, block, bwd_block, res, dy):
     x, params = res
     rows_total, d = x.shape
     f = params.w1.shape[1]
-    # backward emits ~6 output tiles per input tile — halve the block so
-    # the pipelined VMEM footprint stays under budget
-    blk = max(block // 2, 1) * t_pad
+    # backward emits ~6 output tiles per input tile — a smaller block keeps
+    # the pipelined VMEM footprint under budget
+    blk = bwd_block * t_pad
     while rows_total % blk:
         blk //= 2
     dtype = x.dtype
