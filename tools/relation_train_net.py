@@ -70,6 +70,11 @@ def build_dataset(cfg, split: str):
             filter_duplicate_rels=cfg.data.filter_duplicate_relations,
             seed=cfg.solver.seed,
         )
+    if "VOC" in name:
+        from veto_tpu.data.voc import VOCDataset
+
+        voc_split = {"train": "train", "val": "val", "test": "test"}[split]
+        return VOCDataset(d, voc_split)
     if "GQA" in cfg.data.dataset:
         from veto_tpu.data.gqa import GQADataset
 
@@ -171,6 +176,16 @@ def build_meet_config(cfg):
     )
 
 
+def resolve_encoder_impl(impl: str) -> str:
+    """'auto' → the fused Pallas encoder on TPU, plain XLA elsewhere."""
+    if impl != "auto":
+        return impl
+    try:
+        return "fused" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def build_model(cfg):
     from veto_tpu.models.sgg import SGGModel
 
@@ -218,6 +233,8 @@ def build_model(cfg):
         veto_patch_size=cfg.veto.patch_size,
         veto_depth_proj_dim=cfg.veto.depth_proj_dim,
         veto_visual_proj_dim=cfg.veto.visual_proj_dim,
+        veto_remat=cfg.veto.remat,
+        veto_encoder_impl=resolve_encoder_impl(cfg.veto.encoder_impl),
         causal_effect_type=cfg.relation.causal_effect_type,
         causal_fusion_type=cfg.relation.causal_fusion_type,
         bgnn_rel_aware=cfg.relation.rel_aware,

@@ -149,3 +149,33 @@ def incre_idx_list(group_sizes: List[int], num_classes: int) -> np.ndarray:
         out[start : start + size] = k + 1
         start += size
     return out
+
+
+def generate_group_splits(counts, times: float = 4, min_tail: int = 200):
+    """Build MEET/GCL predicate groups for a CUSTOM dataset
+    (SHA_GCL_extra/get_your_own_group/get_group_splits.py:5-41).
+
+    ``counts`` are per-predicate training counts in descending frequency
+    order (background excluded).  A group runs while each member has at
+    least ``head/times`` instances; once the threshold also drops below
+    ``min_tail`` the remaining tail stays in one group.  Returns the group
+    sizes — the same format as :func:`get_group_splits`'s second output
+    (VG divide4 → [4, 6, 9, 19, 12]).
+    """
+    counts = [int(c) for c in counts]
+    if not counts:
+        return []
+    sizes: List[int] = []
+    cur = 0
+    head = counts[0]
+    end = int(head / times)
+    for c in counts:
+        if c >= end or end < min_tail:
+            cur += 1
+        else:
+            sizes.append(cur)
+            head = c
+            end = int(c / times)
+            cur = 1
+    sizes.append(cur)
+    return sizes

@@ -124,6 +124,30 @@ def box_postprocess(
         box_regression.astype(jnp.float32), proposals, weights=reg_weights
     ).reshape(p, c, 4)
     boxes_per_cls = clip_to_image(boxes_per_cls, image_size)
+    return filter_decoded_boxes(
+        prob, boxes_per_cls, prop_mask,
+        score_thresh=score_thresh, nms_thresh=nms_thresh,
+        post_nms_per_cls_topn=post_nms_per_cls_topn,
+        nms_filter_duplicates=nms_filter_duplicates,
+        detections_per_img=detections_per_img,
+    )
+
+
+def filter_decoded_boxes(
+    prob: jnp.ndarray,           # (P, C) softmax scores
+    boxes_per_cls: jnp.ndarray,  # (P, C, 4) decoded + clipped boxes
+    prop_mask: jnp.ndarray,      # (P,)
+    score_thresh: float = 0.01,
+    nms_thresh: float = 0.3,
+    post_nms_per_cls_topn: int = 300,
+    nms_filter_duplicates: bool = True,
+    detections_per_img: int = 80,
+) -> Detections:
+    """The post-decode half of filter_results — split out so bbox-aug TTA
+    (engine/bbox_aug.py) can merge candidates from several augmentations in
+    the identity frame before the NMS filter, matching the reference's
+    merge-then-filter_results order (engine/bbox_aug.py:53-68)."""
+    p, c = prob.shape
 
     # per-class NMS over foreground classes
     keep_fg = multiclass_nms_mask(

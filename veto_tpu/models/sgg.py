@@ -350,6 +350,43 @@ class SGGModel(nn.Module):
             features=feats, detections=dets, predict_logits=det_logits
         )
 
+    def detect_candidates(self, images: jnp.ndarray, image_sizes: jnp.ndarray):
+        """Pre-NMS detection candidates for bbox-aug TTA
+        (engine/bbox_aug.py): softmax class scores + per-class decoded boxes
+        for every RPN proposal, BEFORE filter_results — the reference merges
+        augmented candidates at exactly this point (bbox_aug.py:53-68)."""
+        from veto_tpu.ops.box_ops import clip_to_image, decode_boxes
+
+        feats = self.extract_features(images)
+        h, w = images.shape[1:3]
+        anchor_list = fpn_anchors(
+            (h, w), self.anchor_sizes, self.anchor_strides, self.aspect_ratios
+        )
+        anchors = tuple(jnp.asarray(a) for a, _ in anchor_list)
+        obj_maps, reg_maps = self.rpn(feats)
+        obj_maps = tuple(jax.lax.stop_gradient(m.astype(jnp.float32)) for m in obj_maps)
+        reg_maps = tuple(jax.lax.stop_gradient(m.astype(jnp.float32)) for m in reg_maps)
+
+        def propose_one(obj_b, reg_b, size):
+            flat = [flatten_level(o, r) for o, r in zip(obj_b, reg_b)]
+            return rpn_select_proposals(
+                [f[0] for f in flat], [f[1] for f in flat], anchors, size,
+                self.rpn_pre_nms_top_n, self.rpn_post_nms_top_n,
+                self.rpn_nms_thresh, self.rpn_fpn_post_nms_top_n,
+                self.rpn_min_size,
+            )
+
+        proposals = jax.vmap(propose_one)(obj_maps, reg_maps, image_sizes)
+        logits, deltas = self._box_logits(feats, proposals.boxes)
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        b, p, c = prob.shape
+        bpc = jax.vmap(
+            lambda dl, bx, sz: clip_to_image(
+                decode_boxes(dl.astype(jnp.float32), bx).reshape(p, c, 4), sz
+            )
+        )(deltas, proposals.boxes, image_sizes)
+        return feats, prob, bpc, proposals.mask
+
     # ------------------------------------------------------------------
     # relation head over given boxes (GT or detections)
     # ------------------------------------------------------------------
