@@ -28,10 +28,26 @@ import numpy as np
 def run_detection_eval(cfg, model, state, gen, logger):
     from veto_tpu.evaluation.coco_map import CocoMapEvaluator
 
-    @jax.jit
-    def detect(state, images, sizes):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return model.apply(variables, images, sizes, method="detect").detections
+    if cfg.test.bbox_aug_enabled:
+        # detection TTA: merge flip/scale candidates before the NMS filter
+        # (reference TEST.BBOX_AUG, engine/bbox_aug.py)
+        from veto_tpu.engine.bbox_aug import detect_tta
+
+        @jax.jit
+        def detect(state, images, sizes):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            _, dets, _ = detect_tta(
+                model, variables, images, sizes,
+                hflip=cfg.test.bbox_aug_h_flip,
+                scales=cfg.test.bbox_aug_scales,
+            )
+            return dets
+    else:
+        @jax.jit
+        def detect(state, images, sizes):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            return model.apply(variables, images, sizes, method="detect").detections
 
     ev = CocoMapEvaluator(num_classes=cfg.model.num_obj_classes)
     for batch, recs in gen(max_iter=0):

@@ -63,7 +63,8 @@ def main():
     from veto_tpu.models.sgg import SGGModel
     from veto_tpu.solver.optim import make_optimizer
 
-    model = SGGModel(dtype=jnp.bfloat16)
+    model = SGGModel(dtype=jnp.bfloat16, veto_remat=False,
+                     veto_encoder_impl="fused")
     ds = SyntheticSGGDataset(
         num_images=args.batch, image_size=hw, max_objects=args.boxes - 1,
         min_objects=8, max_relations=20, seed=0,

@@ -262,8 +262,9 @@ def init_model(cfg, model, rng, small_batch):
     )
 
 
-def make_eval_fn(cfg, model):
-    """Mode/ensemble-aware jitted eval step."""
+def make_eval_fn(cfg, model, mesh=None):
+    """Mode/ensemble-aware jitted eval step.  ``mesh`` (with a 'pair'
+    axis) shards the candidate-pair axis across chips (SURVEY §5)."""
     from veto_tpu.engine.train import (
         make_eval_step,
         make_meet_eval_step,
@@ -285,9 +286,10 @@ def make_eval_fn(cfg, model):
                 model, max_pairs=mp,
                 later_nms_thres=cfg.relation.later_nms_prediction_thres,
                 require_overlap=cfg.test.relation_require_overlap,
+                mesh=mesh,
             )
         ), "sgdet"
-    return jax.jit(make_eval_step(model, max_pairs=mp)), "gtbox"
+    return jax.jit(make_eval_step(model, max_pairs=mp, mesh=mesh)), "gtbox"
 
 
 def _feed_oi(oi_evaluator, rec, pred_boxes, classes, scores, pair_idx,
@@ -475,11 +477,19 @@ def train(cfg, logger):
     train_gen = batches_for(cfg, train_ds, "train")
     val_gen = batches_for(cfg, val_ds, "val")
 
-    # class weights (Rwt beta loss, roi_relation_predictors.py:4057-4070)
+    # class weights (Rwt beta loss, roi_relation_predictors.py:4057-4070).
+    # pred_counts_path loads a reference-format pred_counts.pkl (the path
+    # the reference hard-codes at :4059); default = built-in constants.
     cw = None
-    counts = predicate_counts(
-        "GQA" if "GQA" in cfg.data.dataset else "VG"
-    )[: cfg.relation.num_classes]
+    if cfg.pred_counts_path:
+        import pickle
+
+        with open(cfg.pred_counts_path, "rb") as fin:
+            counts = np.asarray(pickle.load(fin), np.float64)
+    else:
+        counts = predicate_counts(
+            "GQA" if "GQA" in cfg.data.dataset else "VG"
+        )[: cfg.relation.num_classes]
     if cfg.relation.beta_loss:
         cw = beta_class_weights(counts, cfg.relation.beta)
 
@@ -591,7 +601,7 @@ def train(cfg, logger):
             })
         if (it + 1) % cfg.solver.val_period == 0:
             if eval_fn is None:
-                eval_fn = make_eval_fn(cfg, model)
+                eval_fn = make_eval_fn(cfg, model, mesh=mesh)
             agg = run_validation(cfg, model, state, val_gen, evaluator, eval_fn)
             mr100 = agg["mR"][100]
             logger.info(
