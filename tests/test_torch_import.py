@@ -201,3 +201,24 @@ def test_full_state_dict_import(tmp_path):
         )
     )
     assert len(loaded) == n_expected
+
+
+def test_grouped_conv_merge_variants_identical():
+    """Every merge policy of GroupedConv3x3 (dense / partial merge /
+    native) must equal the native grouped conv on the same kernel — the
+    expansions are block-diagonal rewrites, not approximations."""
+    from veto_tpu.models.backbone.resnet import GroupedConv3x3
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 12, 64).astype(np.float32))
+    for features, want_merge in ((64, 32), (512, 8), (2048, 1)):
+        m = GroupedConv3x3(features=features, groups=32, dense_max_width=512)
+        assert m._merge_factor() == want_merge
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], (1, 1), ((1, 1), (1, 1)),
+            feature_group_count=32,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)

@@ -24,6 +24,56 @@ import jax.numpy as jnp
 V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 
 
+def measure_sgdet(args):
+    """sgdet eval-path throughput: full detection cascade + all-pair
+    enumeration + relation head + sgdet post-processing."""
+    import jax.numpy as jnp
+
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import create_train_state, make_sgdet_eval_step
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    hw = tuple(int(v) for v in args.hw.split("x"))
+    model = SGGModel(dtype=jnp.bfloat16, mode="sgdet",
+                     veto_remat=False, veto_encoder_impl="fused")
+    ds = SyntheticSGGDataset(
+        num_images=args.batch * 2, image_size=hw, max_objects=79,
+        min_objects=8, max_relations=20, seed=0,
+    )
+    batches = []
+    for i, (b, _) in enumerate(ds.batches(batch_size=args.batch, max_boxes=80)):
+        batches.append(jax.tree.map(jnp.asarray, b))
+        if i == 1:
+            break
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batches[0])
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    variables = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
+        method="init_all",
+    )
+    tx = make_optimizer(SolverConfig(), variables["params"])
+    state = create_train_state(model, tx, rng, small, variables=variables)
+    eval_step = jax.jit(make_sgdet_eval_step(model, max_pairs=args.eval_pairs))
+    for _ in range(2):
+        sp = eval_step(state, batches[0])
+    _ = float(jax.device_get(sp.obj_scores).sum())
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        sp = eval_step(state, batches[i % len(batches)])
+    _ = float(jax.device_get(sp.obj_scores).sum())
+    dt = (time.perf_counter() - t0) / args.steps
+    print(json.dumps({
+        "sgdet_eval_img_per_sec": round(args.batch / dt, 2),
+        "sgdet_eval_step_ms": round(dt * 1e3, 1),
+        "batch": args.batch, "eval_pairs": args.eval_pairs,
+        "steps_measured": args.steps,
+    }, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -31,6 +81,10 @@ def main():
     ap.add_argument("--hw", default="800x1344")
     ap.add_argument("--pairs", type=int, default=1024)
     ap.add_argument("--eval-pairs", type=int, default=2048)
+    # the tunneled TPU runtime is unstable when a second full model
+    # initializes after donated-state loops — measure sgdet separately
+    ap.add_argument("--mode", default="train_eval",
+                    choices=["train_eval", "sgdet"])
     args = ap.parse_args()
     hw = tuple(int(v) for v in args.hw.split("x"))
 
@@ -42,6 +96,8 @@ def main():
     from veto_tpu.models.sgg import SGGModel
     from veto_tpu.solver.optim import make_optimizer
 
+    if args.mode == "sgdet":
+        return measure_sgdet(args)
     model = SGGModel(dtype=jnp.bfloat16, veto_remat=False,
                      veto_encoder_impl="fused")
     ds = SyntheticSGGDataset(

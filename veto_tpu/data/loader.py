@@ -37,19 +37,22 @@ from .transforms import (
 )
 
 
-def prepare_record(
+def load_pixels(
     dataset,
-    index: int,
+    inner: int,
     min_size: int,
     max_size: int,
     pixel_mean,
     pixel_std,
     to_bgr255: bool = True,
     use_depth: bool = True,
-) -> Dict:
-    """Load + transform one image into a batch-ready record."""
-    rec = dataset.get_groundtruth(index, inner_idx=False)
-    inner = dataset.idx_list[index] if hasattr(dataset, "idx_list") else index
+):
+    """Decode + resize + normalize one image (thread-safe: no shared RNG).
+
+    Split from :func:`prepare_record` so the loader's worker pool can run
+    the pixel work in parallel while ground-truth sampling (which draws
+    from the dataset's sequential RNG) stays on the main thread in index
+    order — preserving bit-exact determinism."""
     image = dataset.load_image(inner)
     h0, w0 = image.shape[:2]
     oh, ow = resize_shape(w0, h0, min_size, max_size)
@@ -63,7 +66,11 @@ def prepare_record(
             depth = normalize_depth(resize_image(raw, oh, ow))
         else:
             depth = np.zeros((oh, ow, 1), np.float32)
+    return image, depth, (h0, w0), (oh, ow)
 
+
+def finish_record(rec: Dict, pixels) -> Dict:
+    image, depth, (h0, w0), (oh, ow) = pixels
     # boxes scale with the resize (BoxList.resize in reference Resize)
     sy, sx = oh / h0, ow / w0
     boxes = rec["boxes"] * np.array([sx, sy, sx, sy], np.float32)
@@ -71,6 +78,26 @@ def prepare_record(
     out.update(image=image, depth=depth, boxes=boxes,
                size=np.array([ow, oh], np.int32))
     return out
+
+
+def prepare_record(
+    dataset,
+    index: int,
+    min_size: int,
+    max_size: int,
+    pixel_mean,
+    pixel_std,
+    to_bgr255: bool = True,
+    use_depth: bool = True,
+) -> Dict:
+    """Load + transform one image into a batch-ready record."""
+    rec = dataset.get_groundtruth(index, inner_idx=False)
+    inner = dataset.idx_list[index] if hasattr(dataset, "idx_list") else index
+    return finish_record(
+        rec,
+        load_pixels(dataset, inner, min_size, max_size, pixel_mean,
+                    pixel_std, to_bgr255, use_depth),
+    )
 
 
 class SGGLoader:
@@ -92,6 +119,8 @@ class SGGLoader:
         host_id: int = 0,
         num_hosts: int = 1,
         size_divisibility: int = 32,
+        num_workers: int = 4,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -107,6 +136,8 @@ class SGGLoader:
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.div = size_divisibility
+        self.num_workers = num_workers
+        self.prefetch = prefetch
         # two aspect groups like the reference GroupedBatchSampler
         self.pad_shapes = {
             "landscape": bucket_shape(min_size, max_size, size_divisibility),
@@ -127,9 +158,57 @@ class SGGLoader:
             self.pixel_mean, self.pixel_std, use_depth=self.use_depth,
         )
 
+    def _stream_records(self, idx_iter) -> Iterator[Dict]:
+        """Records in index order with the pixel work on a thread pool.
+
+        The reference overlaps host work via torch DataLoader workers
+        (NUM_WORKERS processes); here a bounded thread pool does the
+        decode/resize (PIL and the native resize release the GIL) while
+        ground-truth assembly stays sequential on this thread, so record
+        order and every RNG draw are identical to num_workers=0."""
+        if self.num_workers <= 0:
+            for i in idx_iter:
+                yield self._record(int(i))
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ds = self.dataset
+        depth = self.num_workers + self.batch_size * self.prefetch
+
+        def pixels(inner):
+            return load_pixels(
+                ds, inner, self.min_size, self.max_size, self.pixel_mean,
+                self.pixel_std, use_depth=self.use_depth,
+            )
+
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            pending = deque()
+
+            def submit(i):
+                i = int(i)
+                rec = ds.get_groundtruth(i, inner_idx=False)
+                inner = ds.idx_list[i] if hasattr(ds, "idx_list") else i
+                pending.append((rec, ex.submit(pixels, inner)))
+
+            for i in idx_iter:
+                submit(i)
+                if len(pending) >= depth:
+                    rec, fut = pending.popleft()
+                    yield finish_record(rec, fut.result())
+            while pending:
+                rec, fut = pending.popleft()
+                yield finish_record(rec, fut.result())
+
     def _assemble(self, records) -> SGGBatch:
-        portrait = records[0]["image"].shape[0] > records[0]["image"].shape[1]
-        shape = self.pad_shapes["portrait" if portrait else "landscape"]
+        aspects = {r["image"].shape[0] > r["image"].shape[1] for r in records}
+        if len(aspects) == 1:
+            shape = self.pad_shapes["portrait" if aspects.pop() else "landscape"]
+        else:
+            # mixed aspect (eval wrap-padding can mix groups): pad to the
+            # envelope of both buckets so nothing overflows
+            a, b = self.pad_shapes["portrait"], self.pad_shapes["landscape"]
+            shape = (max(a[0], b[0]), max(a[1], b[1]))
         for r in records:
             r["image"] = pad_to(r["image"], *shape)
             if r["depth"] is not None:
@@ -139,11 +218,16 @@ class SGGLoader:
     def epochs(self) -> Iterator[Tuple[SGGBatch, list]]:
         """One pass over this host's shard (eval)."""
         idx = self._indices(epoch=0)
+        chunks = []
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start : start + self.batch_size]
             if len(chunk) < self.batch_size:  # pad final batch by wrapping
                 chunk = np.concatenate([chunk, idx[: self.batch_size - len(chunk)]])
-            recs = [self._record(int(i)) for i in chunk]
+            chunks.append(chunk)
+        stream = self._stream_records(
+            (int(i) for chunk in chunks for i in chunk))
+        for chunk in chunks:
+            recs = [next(stream) for _ in chunk]
             groups = {}
             for r in recs:
                 groups.setdefault(r["image"].shape[0] > r["image"].shape[1], []).append(r)
@@ -160,9 +244,17 @@ class SGGLoader:
         it = start_iter
         epoch = 0
         buffers: Dict[bool, list] = {True: [], False: []}
+
+        def index_stream():
+            e = epoch
+            while True:
+                for index in self._indices(e):
+                    yield int(index)
+                e += 1
+
+        stream = self._stream_records(index_stream())
         while it < max_iter:
-            for index in self._indices(epoch):
-                rec = self._record(int(index))
+            for rec in stream:
                 key = rec["image"].shape[0] > rec["image"].shape[1]
                 buffers[key].append(rec)
                 if len(buffers[key]) == self.batch_size:
@@ -171,4 +263,3 @@ class SGGLoader:
                     it += 1
                     if it >= max_iter:
                         return
-            epoch += 1

@@ -67,6 +67,31 @@ class GroupedConv3x3(nn.Module):
     dense_max_width: int = 512
     dtype: Any = jnp.float32
 
+    def _merge_factor(self) -> int:
+        """Groups merged per conv group (block-diagonal within the merge).
+
+        Measured on v5e at the flagship 800x1344 stage shapes (grouped 3x3
+        per stage, 20 fenced steps):
+
+          stage | width | native g=32 | merge 8 (g=4) | dense
+          ------|-------|-------------|---------------|------
+            1   |  256  |   65.8 ms   |    18.6       | 14.6  ← dense
+            2   |  512  |   28.0      |    11.8       | 18.6  ← merge 8
+            3   | 1024  |   63.3      |    47.1       | 104.8 ← merge 8
+            4   | 2048  |    5.0      |     6.2       | 13.8  ← native
+
+        Merging m groups multiplies the 3x3 FLOPs by m but gives the MXU
+        m-times-wider channel blocks; the sweet spot shifts down as width
+        (and with it per-tile efficiency) grows.
+        """
+        if self.groups == 1:
+            return 1
+        if self.features <= self.dense_max_width // 2:  # ≤256: fully dense
+            return self.groups
+        if self.features <= 2 * self.dense_max_width:   # 512/1024: merge 8
+            return min(8, self.groups)
+        return 1                                         # ≥2048: native
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
@@ -76,17 +101,20 @@ class GroupedConv3x3(nn.Module):
             (3, 3, cg, self.features), jnp.float32,
         ).astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
-        dense = self.groups > 1 and self.features <= self.dense_max_width
-        if dense:
-            g, og = self.groups, self.features // self.groups
-            eye = jnp.eye(g, dtype=self.dtype)
-            k5 = kernel.reshape(3, 3, cg, g, og)
-            kd = jnp.einsum("abigo,hg->abhigo", k5, eye).reshape(
-                3, 3, c_in, self.features
+        m = self._merge_factor()
+        if m > 1:
+            g_new = self.groups // m
+            og = self.features // self.groups
+            # block-diagonal expansion within each merged group: out channel
+            # (h, j, o) reads in channels (j, :) of merged group h only
+            k6 = kernel.reshape(3, 3, cg, g_new, m, og)
+            eye = jnp.eye(m, dtype=self.dtype)
+            kd = jnp.einsum("abihjo,kj->abkihjo", k6, eye).reshape(
+                3, 3, m * cg, self.features
             )
             return jax.lax.conv_general_dilated(
                 x, kd, (self.stride, self.stride), ((1, 1), (1, 1)),
-                dimension_numbers=dn,
+                feature_group_count=g_new, dimension_numbers=dn,
             )
         return jax.lax.conv_general_dilated(
             x, kernel, (self.stride, self.stride), ((1, 1), (1, 1)),
