@@ -77,12 +77,27 @@ def main():
         from veto_tpu.evaluation.oi_eval import OIEvaluator
 
         oi = OIEvaluator(num_rel_classes=cfg.relation.num_classes)
+    visual_info = [] if cfg.test.save_visual_info else None
     for batch, recs in gen(max_iter=0):
         batch = jax.tree.map(jnp.asarray, batch)
         preds = jax.device_get(step(state, batch))
         accumulate_eval(kind, preds, recs, evaluator,
                         input_sizes=np.asarray(batch.sizes),
                         coco_evaluator=coco, oi_evaluator=oi)
+        if visual_info is not None:
+            for i, rec in enumerate(recs):
+                pm = np.asarray(preds.pair_mask[i])
+                n = len(rec["boxes"])
+                visual_info.append({
+                    "image_id": int(rec.get("image_id", len(visual_info))),
+                    "boxes": np.asarray(rec["boxes"]).tolist(),
+                    "labels": np.asarray(rec["labels"]).tolist(),
+                    "pred_labels": np.asarray(preds.obj_labels[i][:n]).tolist(),
+                    "rel_pairs": np.asarray(preds.pair_idx[i][pm]).tolist(),
+                    "rel_labels": np.asarray(
+                        1 + preds.rel_scores[i][pm][:, 1:].argmax(-1)
+                    ).tolist(),
+                })
     if cfg.test.sync_gather:
         from veto_tpu.engine.gather import sync_gather_evaluator
 
@@ -107,6 +122,10 @@ def main():
     }
     with open(os.path.join(cfg.output_dir, "eval_results.json"), "w") as f:
         json.dump(out, f, indent=2)
+    if visual_info is not None:
+        with open(os.path.join(cfg.output_dir, "visual_info.json"), "w") as f:
+            json.dump(visual_info, f)
+        logger.info(f"wrote {cfg.output_dir}/visual_info.json")
     logger.info(f"wrote {cfg.output_dir}/eval_results.json")
 
 

@@ -242,6 +242,9 @@ class TestConfig:
     longtail_eval: bool = True
     # stage-wise diagnostic recall (SGStagewiseRecall, sgg_eval.py:582-1207)
     stagewise_eval: bool = False
+    # dump per-image predictions for visualization (the reference's
+    # visual_info.json, vg_eval.py:431-456)
+    save_visual_info: bool = False
     # detection test-time augmentation (TEST.BBOX_AUG.*, engine/bbox_aug.py)
     bbox_aug_enabled: bool = False
     bbox_aug_h_flip: bool = True
