@@ -172,15 +172,14 @@ def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=4):
 
 def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
                 w2, b2, dy_ref,
-                dx_ref, dh1_ref, dqkv_ref, datt_ref, dh2_ref, dg_ref,
-                vd_ref, vf_ref,
+                dx_ref, dh2_ref, ddf1_ref, dg_ref,
+                vd_ref, vf_ref, dwqkv_ref, dwout_ref,
                 *, heads, t_pad, t_valid):
-    """Recompute forward, emit dx plus every projection-input gradient.
-
-    The weight gradients are finished OUTSIDE the kernel as dense matmuls
-    (e.g. dWqkv = h1^T dqkv), which XLA runs at roofline; emitting the
-    intermediate grads costs one extra HBM write each but keeps the kernel
-    VMEM budget at weights + a few block tiles.
+    """Recompute forward, emit dx + the FFN factors (h2, df1, g) for the
+    XLA-side dW1/dW2 matmuls, and accumulate everything else in VMEM:
+    all vector grads plus dWqkv = h1^T dqkv and dWout = att^T dx1 (their
+    factor tensors are the largest — keeping them in-kernel removes
+    ~1.4 GB of HBM round-trips per layer).
     """
     dtype = x_ref.dtype
     d = x_ref.shape[-1]
@@ -232,10 +231,10 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
     phi = jnp.exp(-0.5 * z * z) * 0.3989422804014327
     cdf = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
     df1 = dg * (cdf + z * phi)
-    dh2 = jnp.dot(df1.astype(dtype), w1[:].T,
-                  preferred_element_type=jnp.float32)
-    # LN2 backward (scale ln2s): dh2 -> dx1a
-    dx1a = _ln_bwd(dh2, c2, inv2, ln2sv)
+    dh2f = jnp.dot(df1.astype(dtype), w1[:].T,
+                   preferred_element_type=jnp.float32)
+    # LN2 backward (scale ln2s): dh2f -> dx1a
+    dx1a = _ln_bwd(dh2f, c2, inv2, ln2sv)
     dx1 = dy + dx1a
     # attention out-proj: a = att @ wout + bout
     datt = jnp.dot(dx1.astype(dtype), wout[:].T,
@@ -282,37 +281,47 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
     dx = dx1 + _ln_bwd(dh1, c1, inv1, ln1sv)
 
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    dh1_ref[:] = h1  # saved activation (not a grad): reused for dWqkv
-    dqkv_ref[:] = dqkv.astype(dqkv_ref.dtype)
-    datt_ref[:] = att  # saved activation for dWout
-    dh2_ref[:] = jnp.concatenate(
-        [h2, dx1.astype(dtype)], axis=-1)  # h2 for dW1 + dx1 for dWout pairing
-    dg_ref[:] = jnp.concatenate(
-        [gb, df1.astype(dtype)], axis=-1)  # g for dW2 + df1 for dW1 pairing
+    dh2_ref[:] = h2          # for the XLA-side dW1 = h2^T df1
+    ddf1_ref[:] = df1.astype(ddf1_ref.dtype)
+    dg_ref[:] = gb           # for the XLA-side dW2 = g^T dy
 
-    # ---- vector grads accumulate across grid steps in the constant-index
-    # output blocks (they live in VMEM for the whole grid)
+    # ---- vector + big weight grads accumulate across grid steps in the
+    # constant-index output blocks (they live in VMEM for the whole grid)
     xhat1 = c1 * inv1
     xhat2 = c2 * inv2
     vd = jnp.stack([
         (dh1 * xhat1).sum(0),   # d ln1_scale
         dh1.sum(0),             # d ln1_bias
-        (dh2 * xhat2).sum(0),   # d ln2_scale
-        dh2.sum(0),             # d ln2_bias
+        (dh2f * xhat2).sum(0),  # d ln2_scale
+        dh2f.sum(0),            # d ln2_bias
         dx1.sum(0),             # d b_out
         dy.sum(0),              # d b2
     ])
     vf = df1.sum(0).reshape(1, -1)  # d b1
+    dqkvb = dqkv.astype(dtype)
+    dwqkv = jax.lax.dot_general(  # h1^T dqkv
+        h1, dqkvb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx1b = dx1.astype(dtype)
+    dwout = jax.lax.dot_general(  # att^T dx1
+        att, dx1b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         vd_ref[:] = vd
         vf_ref[:] = vf
+        dwqkv_ref[:] = dwqkv
+        dwout_ref[:] = dwout
 
     @pl.when(pl.program_id(0) != 0)
     def _acc():
         vd_ref[:] += vd
         vf_ref[:] += vf
+        dwqkv_ref[:] += dwqkv
+        dwout_ref[:] += dwout
 
 
 def _ln_bwd(dout, c, inv, scale):
@@ -342,35 +351,29 @@ def _bwd(heads, t_pad, t_valid, block, bwd_block, res, dy):
                           t_valid=t_valid),
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, d), dtype),       # dx
-            jax.ShapeDtypeStruct((rows_total, d), dtype),       # h1
-            jax.ShapeDtypeStruct((rows_total, 3 * d), dtype),   # dqkv
-            jax.ShapeDtypeStruct((rows_total, d), dtype),       # att
-            jax.ShapeDtypeStruct((rows_total, 2 * d), dtype),   # [h2, dx1]
-            jax.ShapeDtypeStruct((rows_total, 2 * f), dtype),   # [g, df1]
+            jax.ShapeDtypeStruct((rows_total, d), dtype),       # h2
+            jax.ShapeDtypeStruct((rows_total, f), dtype),       # df1
+            jax.ShapeDtypeStruct((rows_total, f), dtype),       # g
             jax.ShapeDtypeStruct((6, d), jnp.float32),          # vector grads
             jax.ShapeDtypeStruct((1, f), jnp.float32),          # d b1
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),      # dWqkv
+            jax.ShapeDtypeStruct((d, d), jnp.float32),          # dWout
         ],
         grid=(rows_total // blk,),
         in_specs=[_row_spec(blk, d)] + _param_specs(params)
         + [_row_spec(blk, d)],
         out_specs=[
-            _row_spec(blk, d), _row_spec(blk, d), _row_spec(blk, 3 * d),
-            _row_spec(blk, d), _row_spec(blk, 2 * d), _row_spec(blk, 2 * f),
+            _row_spec(blk, d), _row_spec(blk, d), _row_spec(blk, f),
+            _row_spec(blk, f),
             _full_spec(6, d), _full_spec(1, f),
+            _full_spec(d, 3 * d), _full_spec(d, d),
         ],
         interpret=INTERPRET,
     )(x, *params, dy)
-    dx, h1, dqkv, att, h2_dx1, g_df1, vd, vf = outs
-    h2 = h2_dx1[:, :d]
-    dx1 = h2_dx1[:, d:]
-    g = g_df1[:, :f]
-    df1 = g_df1[:, f:]
+    dx, h2, df1, g, vd, vf, d_wqkv, d_wout = outs
 
-    # ---- weight grads: roofline XLA matmuls over the emitted tensors;
-    # every vector grad was accumulated in-kernel
+    # ---- the remaining weight grads: roofline XLA matmuls
     f32 = jnp.float32
-    d_wqkv = jnp.dot(h1.T, dqkv, preferred_element_type=f32)
-    d_wout = jnp.dot(att.T, dx1, preferred_element_type=f32)
     d_w1 = jnp.dot(h2.T, df1, preferred_element_type=f32)
     d_w2 = jnp.dot(g.T, dy.astype(dtype), preferred_element_type=f32)
 
