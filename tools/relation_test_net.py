@@ -60,7 +60,17 @@ def main():
     state, _ = ckpt.restore(state)
     logger.info(f"evaluating checkpoint @ step {int(state.step)}")
 
-    step, kind = make_eval_fn(cfg, model)
+    # same {data, pair} mesh the train tool's validation path uses
+    # (relation_train_net.py), so pair-axis sharding engages on multi-chip
+    # hosts in the standalone test tool too
+    import math
+
+    from veto_tpu.engine.train import make_mesh
+
+    ndev = len(jax.devices())
+    data_axis = math.gcd(ndev, cfg.test.ims_per_batch)
+    mesh = make_mesh(data=data_axis, pair=ndev // data_axis)
+    step, kind = make_eval_fn(cfg, model, mesh=mesh)
     # zR needs the training split's triplet set (reference vg_eval always
     # evaluates zero-shot recall); derive it unless disabled
     train_ds = build_dataset(cfg, "train") if cfg.test.zeroshot_eval else None

@@ -44,7 +44,25 @@ def build_dataset(cfg, split: str):
             seed=cfg.solver.seed + (0 if split == "train" else 7),
         )
     d = cfg.data.data_dir
-    name = cfg.data.dataset.upper()
+    if "+" in cfg.data.dataset and split == "train":
+        # multi-dataset pretraining, e.g. data.dataset=VOC2007+VOC2012
+        # (reference DATASETS.TRAIN tuples + concat_dataset.py; val/test
+        # evaluate the first-named part)
+        import dataclasses
+
+        from veto_tpu.data.compound import ConcatDataset
+
+        parts = [
+            build_dataset(
+                dataclasses.replace(
+                    cfg, data=dataclasses.replace(cfg.data, dataset=part)
+                ),
+                split,
+            )
+            for part in cfg.data.dataset.split("+")
+        ]
+        return ConcatDataset(parts)
+    name = cfg.data.dataset.split("+")[0].upper()
     if "COCO" in name:
         # detector pretraining on COCO instances (reference coco.py +
         # paths_catalog.py:14-34 layouts)
@@ -74,6 +92,10 @@ def build_dataset(cfg, split: str):
         from veto_tpu.data.voc import VOCDataset
 
         voc_split = {"train": "train", "val": "val", "test": "test"}[split]
+        # VOC2007 / VOC2012 devkit subdirectories (paths_catalog.py voc/VOC{year})
+        for year in ("2007", "2012"):
+            if year in name and os.path.isdir(os.path.join(d, f"VOC{year}")):
+                return VOCDataset(os.path.join(d, f"VOC{year}"), voc_split)
         return VOCDataset(d, voc_split)
     if "GQA" in cfg.data.dataset:
         from veto_tpu.data.gqa import GQADataset
@@ -278,6 +300,8 @@ def make_eval_fn(cfg, model, mesh=None):
             make_meet_eval_step(
                 model, meet, max_pairs=mp, mode=cfg.relation.mode,
                 later_nms_thres=cfg.relation.later_nms_prediction_thres,
+                require_overlap=cfg.test.relation_require_overlap,
+                mesh=mesh,
             )
         ), "meet"
     if cfg.relation.mode == "sgdet":

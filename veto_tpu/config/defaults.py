@@ -36,7 +36,7 @@ class VetoTransformerConfig:
     depth_proj_dim: int = 512
     visual_proj_dim: int = 64
     # encoder implementation: auto (fused Pallas on TPU, plain XLA
-    # elsewhere) | xla | fused
+    # elsewhere) | xla | fused | pair_attn (attention-only Pallas fusion)
     encoder_impl: str = "auto"
     # rematerialize the encoder in backward (memory for compute); the fused
     # kernel already recomputes flash-style, so off is the fast default

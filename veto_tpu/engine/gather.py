@@ -54,6 +54,8 @@ def _evaluator_blob(ev) -> Dict[str, np.ndarray]:
         blob[f"zs/{k}"] = np.asarray(ev.zeroshot_recall[k])
         blob[f"acc_hit/{k}"] = np.asarray(ev.accuracy_hit[k])
         blob[f"acc_cnt/{k}"] = np.asarray(ev.accuracy_count[k])
+        blob[f"ar_hit/{k}"] = np.asarray(ev.acc_recall_hit[k])
+        blob[f"ar_cnt/{k}"] = np.asarray(ev.acc_recall_count[k])
         for c in range(ev.num_rel):
             blob[f"mr/{k}/{c}"] = np.asarray(ev.mean_recall_collect[k][c])
             blob[f"ngmr/{k}/{c}"] = np.asarray(ev.ng_mean_recall_collect[k][c])
@@ -70,6 +72,8 @@ def _load_blobs(ev, blobs: List[Dict[str, np.ndarray]]) -> None:
         ev.zeroshot_recall[k] = list(np.concatenate([b[f"zs/{k}"] for b in blobs]))
         ev.accuracy_hit[k] = list(np.concatenate([b[f"acc_hit/{k}"] for b in blobs]))
         ev.accuracy_count[k] = list(np.concatenate([b[f"acc_cnt/{k}"] for b in blobs]))
+        ev.acc_recall_hit[k] = list(np.concatenate([b[f"ar_hit/{k}"] for b in blobs]))
+        ev.acc_recall_count[k] = list(np.concatenate([b[f"ar_cnt/{k}"] for b in blobs]))
         for c in range(ev.num_rel):
             ev.mean_recall_collect[k][c] = list(
                 np.concatenate([b[f"mr/{k}/{c}"] for b in blobs])

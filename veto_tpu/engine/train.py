@@ -305,6 +305,7 @@ def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls",
 def make_meet_eval_step(
     model, meet, max_pairs: int = 2048, mode: str = "predcls",
     later_nms_thres: float = 0.3, require_overlap: bool = False,
+    mesh: Optional[Mesh] = None,
 ):
     """MEET ensemble eval step for all three modes.
 
@@ -345,6 +346,8 @@ def make_meet_eval_step(
                     require_overlap=require_overlap,
                 )
             )(dets.mask, dets.scores, dets.boxes)
+            pair_idx, pair_mask = constrain_pair_tree(
+                (pair_idx, pair_mask), mesh, ref_shape=pair_mask.shape)
             out = model.apply(
                 variables, det.features, batch.depth, dets.boxes, dets.mask,
                 dets.labels, det.predict_logits, pair_idx, pair_mask,
@@ -372,6 +375,8 @@ def make_meet_eval_step(
             pair_idx, pair_mask = jax.vmap(
                 lambda m, s, bx: prepare_test_pairs(m, s, bx, max_pairs=max_pairs)
             )(batch.box_mask, scores, batch.boxes)
+            pair_idx, pair_mask = constrain_pair_tree(
+                (pair_idx, pair_mask), mesh, ref_shape=pair_mask.shape)
             fwd = model.apply(
                 variables, batch.images, batch.depth, batch.boxes,
                 batch.box_mask, batch.labels, batch.obj_logits,

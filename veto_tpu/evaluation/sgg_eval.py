@@ -213,6 +213,12 @@ class SGGEvaluator:
         self.zeroshot_recall = {k: [] for k in ks}
         self.accuracy_hit = {k: [] for k in ks}
         self.accuracy_count = {k: [] for k in ks}
+        # accumulate recall aR@K = dataset-level sum(hits)/sum(gt)
+        # (reference SGAccumulateRecall, sgg_eval.py:557-581 — note its
+        # _recall_hit containers are never registered there [:388-389
+        # commented out]; this is the working rebuild of the intent)
+        self.acc_recall_hit = {k: [] for k in ks}
+        self.acc_recall_count = {k: [] for k in ks}
         # per-class recall collections; index 0 doubles as the "all" bucket
         self.mean_recall_collect = {k: [[] for _ in range(self.num_rel)] for k in ks}
         self.ng_mean_recall_collect = {k: [[] for _ in range(self.num_rel)] for k in ks}
@@ -316,6 +322,8 @@ class SGGEvaluator:
         for k in self.ks:
             match = _union_upto(pred_to_gt, k)
             self.recall[k].append(len(match) / num_gt)
+            self.acc_recall_hit[k].append(float(len(match)))
+            self.acc_recall_count[k].append(num_gt)
             self._collect_per_class(self.mean_recall_collect[k], gt_labels, match)
 
             ng_match = _union_upto(nogc_pred_to_gt, k)
@@ -364,6 +372,11 @@ class SGGEvaluator:
             "R": {k: mean_or_zero(v) for k, v in self.recall.items()},
             "ngR": {k: mean_or_zero(v) for k, v in self.recall_nogc.items()},
             "zR": {k: mean_or_zero(v) for k, v in self.zeroshot_recall.items()},
+            "aR": {
+                k: float(np.sum(self.acc_recall_hit[k]))
+                / (float(np.sum(self.acc_recall_count[k])) + 1e-10)
+                for k in self.ks
+            },
             "mR": {},
             "ngmR": {},
             "A": {},
@@ -398,7 +411,7 @@ class SGGEvaluator:
     def summary_string(self) -> str:
         agg = self.aggregate()
         lines = [f"SGG eval ({self.mode}, {self.num_images} images):"]
-        for name in ("R", "mR", "ngR", "ngmR", "zR", "A"):
+        for name in ("R", "mR", "ngR", "ngmR", "zR", "aR", "A"):
             vals = agg.get(name) or {}
             if vals:
                 body = "; ".join(f"{name}@{k}: {v:.4f}" for k, v in sorted(vals.items()))

@@ -270,13 +270,18 @@ class VetoEncoder(nn.Module):
         tokens pad once to an 8-aligned count and each layer
         (LN → qkv → block-diagonal attention → out-proj → LN → FFN) runs
         VMEM-resident; measured ~1.6x over the XLA lowering on v5e.
+      * ``impl='pair_attn'`` — mid-tier: XLA projections/LN/FFN with only
+        the attention core fused (ops/pair_attention.py) — the kernel that
+        preceded the full fused layer, kept as a reachable option for
+        perf A/B and as the fallback when a shape bound breaks the full
+        fusion.
     """
 
     dim: int = 576
     layers: int = 6
     heads: int = 6
     dtype: Any = jnp.float32
-    impl: str = "xla"  # 'xla' | 'fused' (Pallas, TPU only)
+    impl: str = "xla"  # 'xla' | 'fused' | 'pair_attn' (Pallas, TPU only)
 
     def _layer_params(self, i: int):
         from veto_tpu.ops.fused_encoder import EncoderLayerParams
@@ -335,12 +340,12 @@ class VetoEncoder(nn.Module):
                 xp = fused_encoder_layer(xp, p16, self.heads, t_pad, t, 16, 4)
             # CLS token of every pair = row i * t_pad
             return xp.reshape(n, t_pad, d)[:, 0]
-        # plain-XLA path: identical math, per-pair batched attention
+        # 'xla' / 'pair_attn': layer stack with per-layer attention choice
         for p in layer_params:
-            x = self._xla_layer(x, p)
+            x = self._xla_layer(x, p, fused_attn=self.impl == "pair_attn")
         return x[:, 0]
 
-    def _xla_layer(self, x, p):
+    def _xla_layer(self, x, p, fused_attn=False):
         from veto_tpu.ops.fused_encoder import _gelu_exact, _ln
 
         cdt = self.dtype
@@ -349,21 +354,29 @@ class VetoEncoder(nn.Module):
         h1 = _ln(x, p.ln1_scale, p.ln1_bias)[0].astype(cdt)
         qkv = h1 @ p.w_qkv.astype(cdt)
         scale = dh ** -0.5
-        outs = []
-        for h in range(self.heads):
-            q = qkv[..., h * dh:(h + 1) * dh]
-            k = qkv[..., d + h * dh:d + (h + 1) * dh]
-            v = qkv[..., 2 * d + h * dh:2 * d + (h + 1) * dh]
-            s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            pr = jax.nn.softmax(s, axis=-1).astype(cdt)
-            outs.append(jax.lax.dot_general(
-                pr, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(cdt))
-        att = jnp.concatenate(outs, axis=-1)
+        if fused_attn:
+            from veto_tpu.ops.pair_attention import pair_attention
+
+            att = pair_attention(
+                qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:],
+                heads=self.heads,
+            )
+        else:
+            outs = []
+            for h in range(self.heads):
+                q = qkv[..., h * dh:(h + 1) * dh]
+                k = qkv[..., d + h * dh:d + (h + 1) * dh]
+                v = qkv[..., 2 * d + h * dh:2 * d + (h + 1) * dh]
+                s = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                pr = jax.nn.softmax(s, axis=-1).astype(cdt)
+                outs.append(jax.lax.dot_general(
+                    pr, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt))
+            att = jnp.concatenate(outs, axis=-1)
         x1 = x + (att @ p.w_out.astype(cdt) + p.b_out).astype(cdt)
         h2 = _ln(x1, p.ln2_scale, p.ln2_bias)[0].astype(cdt)
         f1 = h2 @ p.w1.astype(cdt) + p.b1
