@@ -122,10 +122,15 @@ def load_ref_utils_motifs():
     def pre_stub():
         _stub("ipdb", set_trace=lambda: None)
         _stub("pysgg.modeling.utils", cat=_torch_cat)
-        _stub(
-            "pysgg.modeling.roi_heads.relation_head.utils_relation",
-            nms_overlaps=None,
-        )
+        # satisfy the import without clobbering the REAL utils_relation if
+        # load_ref_utils_relation already executed it
+        ur = sys.modules.get(
+            "pysgg.modeling.roi_heads.relation_head.utils_relation")
+        if ur is None or not hasattr(ur, "nms_overlaps"):
+            _stub(
+                "pysgg.modeling.roi_heads.relation_head.utils_relation",
+                nms_overlaps=None,
+            )
 
     mod = load_ref_module("utils_motifs.py", "utils_motifs", pre_stub)
     mod.obj_edge_vectors = deterministic_glove
@@ -153,3 +158,71 @@ class FakeBoxList:
 
     def __len__(self):
         return self.bbox.shape[0]
+
+
+def _exec_ref_file(relpath, dotted):
+    """Exec an arbitrary reference file under its real dotted name."""
+    parts = dotted.split(".")
+    for i in range(1, len(parts)):
+        _ensure_pkg(".".join(parts[:i]))
+    spec = importlib.util.spec_from_file_location(
+        dotted, os.path.join(REF_ROOT, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_bounding_box():
+    """The REAL structures/bounding_box.py (torch-only)."""
+    name = "pysgg.structures.bounding_box"
+    mod = sys.modules.get(name)
+    if mod is not None and hasattr(mod, "BoxList"):
+        return mod
+    return _exec_ref_file("pysgg/structures/bounding_box.py", name)
+
+
+def load_ref_boxlist_ops():
+    """The REAL structures/boxlist_ops.py (boxlist_iou/union/cat); the
+    `pysgg.layers.nms` import is stubbed — boxlist_iou never calls it."""
+    name = "pysgg.structures.boxlist_ops"
+    mod = sys.modules.get(name)
+    if mod is not None and hasattr(mod, "boxlist_iou"):
+        return mod
+    load_ref_bounding_box()
+    _stub("pysgg.layers", nms=None)
+    return _exec_ref_file("pysgg/structures/boxlist_ops.py", name)
+
+
+def load_ref_utils_relation():
+    """The REAL utils_relation.py (obj_prediction_nms, nms_overlaps)."""
+    name = "pysgg.modeling.roi_heads.relation_head.utils_relation"
+    mod = sys.modules.get(name)
+    if mod is not None and not hasattr(mod, "obj_prediction_nms"):
+        del sys.modules[name]  # replace an earlier attr-only stub
+    _stub("ipdb", set_trace=lambda: None)
+    return load_ref_module("utils_relation.py", "utils_relation")
+
+
+def load_ref_inference():
+    """The REAL relation_head/inference.py (PostProcessor + MEET paths)."""
+    load_ref_bounding_box()
+    load_ref_utils_relation()
+
+    def pre_stub():
+        _stub("ipdb", set_trace=lambda: None)
+
+    return load_ref_module("inference.py", "inference", pre_stub)
+
+
+def load_ref_rel_sampling():
+    """The REAL relation_head/sampling.py (RelationSampling) over the real
+    boxlist_iou."""
+    load_ref_boxlist_ops()
+
+    def pre_stub():
+        _stub("ipdb", set_trace=lambda: None)
+        _stub("pysgg.modeling.utils", cat=_torch_cat)
+
+    return load_ref_module("sampling.py", "sampling", pre_stub)
