@@ -85,9 +85,60 @@ def stack_graphs(graphs, idx):
     )
 
 
+def preprocess(args):
+    """Caption-graph ↔ detected-graph pair construction (reference
+    image_retrieval/preprocessing.py, paths made explicit).  Consumes the
+    causal-TDE ``vg_capgraphs_anno.json``, ``VG-SGG-dicts-with-attri.json``
+    and the sgdet predictions dumped by
+    ``relation_test_net.py --save-retrieval-predictions`` (or the VG h5
+    for the ground-truth variant), writes the training pair JSON."""
+    from veto_tpu.retrieval.preprocessing import (
+        build_vocabs,
+        generate_detect_sg,
+        generate_gt_sg,
+        generate_txt_img_sg,
+        pairs_records,
+    )
+
+    cap_graph = json.load(open(args.capgraph))
+    vg_dict = json.load(open(args.vg_dict))
+    vocabs = build_vocabs(cap_graph, vg_dict)
+    if args.gt_h5:
+        import h5py
+
+        with h5py.File(args.gt_h5, "r") as h5:
+            img_sg = generate_gt_sg(cap_graph, vg_dict, h5)
+    else:
+        predictions = [
+            json.loads(line)
+            for line in open(args.predictions)
+            if line.strip()
+        ]
+        img_sg = generate_detect_sg(
+            predictions, cap_graph, vg_dict, obj_thres=args.obj_thres)
+    txt_img_sg = generate_txt_img_sg(img_sg, cap_graph, vocabs)
+    records = pairs_records(txt_img_sg)
+    with open(args.out, "w") as f:
+        json.dump(records, f)
+    print(f"{len(records)} pairs -> {args.out}  (vocab {vocabs.sizes})")
+
+
 def main():
     parser = argparse.ArgumentParser(description="VETO-TPU graph retrieval")
     parser.add_argument("--data", default=None, help="JSON pair file")
+    # --- preprocessing mode (reference preprocessing.py)
+    parser.add_argument("--preprocess", action="store_true",
+                        help="build the pair JSON instead of training")
+    parser.add_argument("--capgraph", default=None,
+                        help="vg_capgraphs_anno.json")
+    parser.add_argument("--vg-dict", default=None,
+                        help="VG-SGG-dicts-with-attri.json")
+    parser.add_argument("--predictions", default=None,
+                        help="retrieval_predictions.jsonl from relation_test_net")
+    parser.add_argument("--gt-h5", default=None,
+                        help="VG-SGG-with-attri.h5 for the GT-graph variant")
+    parser.add_argument("--obj-thres", type=float, default=0.1)
+    parser.add_argument("--out", default="retrieval_pairs.json")
     parser.add_argument("--iters", type=int, default=200)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--e-max", type=int, default=24)
@@ -95,6 +146,10 @@ def main():
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--output", default="./output_retrieval")
     args = parser.parse_args()
+
+    if args.preprocess:
+        preprocess(args)
+        return
 
     from veto_tpu.retrieval.model import SGEncode, retrieval_recall, triplet_loss
     from veto_tpu.utils.logger import setup_logger

@@ -18,10 +18,51 @@ import jax
 import jax.numpy as jnp
 
 
+def _retrieval_entries(kind, preds_out, recs):
+    """Per-image prediction dicts for the retrieval preprocessing
+    (the reference's eval_results.pytorch fields, preprocessing.py:128-135:
+    pred_labels / pred_scores / rel_pair_idxs / pred_rel_scores)."""
+    import numpy as np
+
+    if kind == "meet":
+        preds, _boxes, det_mask = preds_out
+    else:
+        preds = preds_out
+        det_mask = getattr(preds, "det_mask", None)
+    for i, rec in enumerate(recs):
+        pm = np.asarray(preds.pair_mask[i])
+        if det_mask is not None:
+            dm = np.asarray(det_mask[i])
+            if dm.sum() == 0 or pm.sum() == 0:
+                continue
+            remap = np.cumsum(dm) - 1
+            labels = np.asarray(preds.obj_labels[i])[dm]
+            scores = np.asarray(preds.obj_scores[i])[dm]
+            pairs = remap[np.asarray(preds.pair_idx[i])[pm]]
+        else:
+            n = len(rec["boxes"])
+            labels = np.asarray(preds.obj_labels[i])[:n]
+            scores = np.asarray(preds.obj_scores[i])[:n]
+            pairs = np.asarray(preds.pair_idx[i])[pm]
+        yield {
+            "image_id": int(rec.get("image_id", -1)),
+            "obj_labels": labels.tolist(),
+            "obj_scores": scores.tolist(),
+            "rel_pairs": pairs.tolist(),
+            "rel_scores": np.asarray(preds.rel_scores[i])[pm].tolist(),
+        }
+
+
 def main():
     parser = argparse.ArgumentParser(description="VETO-TPU relation evaluation")
     parser.add_argument("--config", default=None)
     parser.add_argument("--split", default="test", choices=["val", "test"])
+    parser.add_argument(
+        "--save-retrieval-predictions", action="store_true",
+        help="dump per-image predictions (retrieval_predictions.jsonl) for "
+             "the image-retrieval preprocessing "
+             "(veto_tpu/retrieval/preprocessing.py; reference "
+             "eval_results.pytorch analog)")
     parser.add_argument("opts", nargs="*", default=[])
     args = parser.parse_args()
 
@@ -88,12 +129,19 @@ def main():
 
         oi = OIEvaluator(num_rel_classes=cfg.relation.num_classes)
     visual_info = [] if cfg.test.save_visual_info else None
+    retr_file = None
+    if args.save_retrieval_predictions:
+        retr_path = os.path.join(cfg.output_dir, "retrieval_predictions.jsonl")
+        retr_file = open(retr_path, "w")
     for batch, recs in gen(max_iter=0):
         batch = jax.tree.map(jnp.asarray, batch)
         preds = jax.device_get(step(state, batch))
         accumulate_eval(kind, preds, recs, evaluator,
                         input_sizes=np.asarray(batch.sizes),
                         coco_evaluator=coco, oi_evaluator=oi)
+        if retr_file is not None:
+            for entry in _retrieval_entries(kind, preds, recs):
+                retr_file.write(json.dumps(entry) + "\n")
         if visual_info is not None:
             for i, rec in enumerate(recs):
                 pm = np.asarray(preds.pair_mask[i])
@@ -108,6 +156,9 @@ def main():
                         1 + preds.rel_scores[i][pm][:, 1:].argmax(-1)
                     ).tolist(),
                 })
+    if retr_file is not None:
+        retr_file.close()
+        logger.info(f"wrote {retr_path}")
     if cfg.test.sync_gather:
         from veto_tpu.engine.gather import sync_gather_evaluator
 
