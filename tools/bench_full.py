@@ -24,20 +24,25 @@ import jax.numpy as jnp
 V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 
 
-def measure_sgdet(args):
-    """sgdet eval-path throughput: full detection cascade + all-pair
-    enumeration + relation head + sgdet post-processing."""
+def measure_sgdet(args, train=False):
+    """sgdet-path throughput: full detection cascade + relation head.
+    ``train=False`` = eval (all-pair enumeration + sgdet post-processing);
+    ``train=True`` = the sgdet TRAIN step (detect_relsample + loss + bwd +
+    Adam), previously unmeasured (VERDICT r2 #3)."""
     import jax.numpy as jnp
 
     from veto_tpu.config.defaults import SolverConfig
     from veto_tpu.data.synthetic import SyntheticSGGDataset
-    from veto_tpu.engine.train import create_train_state, make_sgdet_eval_step
+    from veto_tpu.engine.train import (
+        create_train_state, make_sgdet_eval_step, make_sgdet_train_step,
+    )
     from veto_tpu.models.sgg import SGGModel
     from veto_tpu.solver.optim import make_optimizer
 
     hw = tuple(int(v) for v in args.hw.split("x"))
     model = SGGModel(dtype=jnp.bfloat16, mode="sgdet",
-                     veto_remat=False, veto_encoder_impl="fused")
+                     veto_remat=False, veto_encoder_impl="fused",
+                     fold_bn=args.fold_bn)
     ds = SyntheticSGGDataset(
         num_images=args.batch * 2, image_size=hw, max_objects=79,
         min_objects=8, max_relations=20, seed=0,
@@ -55,8 +60,33 @@ def measure_sgdet(args):
         small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
         method="init_all",
     )
-    tx = make_optimizer(SolverConfig(), variables["params"])
+    tx = make_optimizer(
+        SolverConfig(), variables["params"],
+        frozen_prefixes=("backbone", "rpn", "box_extractor", "box_predictor"),
+    )
     state = create_train_state(model, tx, rng, small, variables=variables)
+    if train:
+        step = jax.jit(
+            make_sgdet_train_step(model, tx, None,
+                                  batch_size_per_image=args.pairs),
+            donate_argnums=(0,),
+        )
+        scale = jnp.asarray(1.0, jnp.float32)
+        for _ in range(2):
+            state, metrics = step(state, batches[0], scale)
+        _ = float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics = step(state, batches[i % len(batches)], scale)
+        _ = float(jax.device_get(metrics["loss"]))
+        dt = (time.perf_counter() - t0) / args.steps
+        print(json.dumps({
+            "sgdet_train_img_per_sec": round(args.batch / dt, 2),
+            "sgdet_train_step_ms": round(dt * 1e3, 1),
+            "batch": args.batch, "pairs": args.pairs,
+            "fold_bn": args.fold_bn, "steps_measured": args.steps,
+        }, indent=1))
+        return
     eval_step = jax.jit(make_sgdet_eval_step(model, max_pairs=args.eval_pairs))
     for _ in range(2):
         sp = eval_step(state, batches[0])
@@ -70,7 +100,7 @@ def measure_sgdet(args):
         "sgdet_eval_img_per_sec": round(args.batch / dt, 2),
         "sgdet_eval_step_ms": round(dt * 1e3, 1),
         "batch": args.batch, "eval_pairs": args.eval_pairs,
-        "steps_measured": args.steps,
+        "fold_bn": args.fold_bn, "steps_measured": args.steps,
     }, indent=1))
 
 
@@ -84,8 +114,19 @@ def main():
     # the tunneled TPU runtime is unstable when a second full model
     # initializes after donated-state loops — measure sgdet separately
     ap.add_argument("--mode", default="train_eval",
-                    choices=["train_eval", "sgdet"])
+                    choices=["train_eval", "sgdet", "sgdet_train"])
+    ap.add_argument("--fold-bn", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--encoder-block", type=int, default=None)
+    ap.add_argument("--encoder-bwd-block", type=int, default=None)
     args = ap.parse_args()
+    if args.encoder_block or args.encoder_bwd_block:
+        import veto_tpu.ops.fused_encoder as fe
+
+        if args.encoder_block:
+            fe.FUSED_BLOCK = args.encoder_block
+        if args.encoder_bwd_block:
+            fe.FUSED_BWD_BLOCK = args.encoder_bwd_block
     hw = tuple(int(v) for v in args.hw.split("x"))
 
     from veto_tpu.config.defaults import SolverConfig
@@ -98,8 +139,10 @@ def main():
 
     if args.mode == "sgdet":
         return measure_sgdet(args)
+    if args.mode == "sgdet_train":
+        return measure_sgdet(args, train=True)
     model = SGGModel(dtype=jnp.bfloat16, veto_remat=False,
-                     veto_encoder_impl="fused")
+                     veto_encoder_impl="fused", fold_bn=args.fold_bn)
     ds = SyntheticSGGDataset(
         num_images=args.batch * 2, image_size=hw, max_objects=79,
         min_objects=8, max_relations=20, seed=0,
@@ -151,6 +194,14 @@ def main():
     dt_train = (time.perf_counter() - t0) / args.steps
 
     eval_step = jax.jit(make_eval_step(model, max_pairs=args.eval_pairs))
+    eval_flops = None
+    try:
+        ca = eval_step.lower(state, batches[0]).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        eval_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
     for _ in range(2):
         preds = eval_step(state, batches[0])
     _ = float(jax.device_get(preds.obj_scores).sum())
@@ -168,11 +219,16 @@ def main():
         "batch": args.batch,
         "pairs": args.pairs,
         "eval_pairs": args.eval_pairs,
+        "fold_bn": args.fold_bn,
         "steps_measured": args.steps,
     }
     if flops:
         out["train_step_tflop_xla_cost_model"] = round(flops / 1e12, 2)
         out["mfu_vs_v5e_bf16_peak"] = round(flops / dt_train / V5E_BF16_PEAK, 4)
+    if eval_flops:
+        out["eval_step_tflop_xla_cost_model"] = round(eval_flops / 1e12, 2)
+        out["eval_mfu_vs_v5e_bf16_peak"] = round(
+            eval_flops / dt_eval / V5E_BF16_PEAK, 4)
     print(json.dumps(out, indent=1))
 
 

@@ -229,6 +229,7 @@ def build_model(cfg):
         groups=cfg.model.resnet_groups,
         width_per_group=cfg.model.resnet_width_per_group,
         fpn_channels=cfg.model.fpn_channels,
+        fold_bn=cfg.model.fold_bn,
         anchor_sizes=cfg.model.anchor_sizes,
         anchor_strides=cfg.model.anchor_strides,
         aspect_ratios=cfg.model.aspect_ratios,
@@ -541,7 +542,8 @@ def train(cfg, logger):
         from veto_tpu.utils.torch_import import import_detector_weights
 
         new_params, _, _ = import_detector_weights(
-            variables["params"], cfg.model.pretrained_detector_ckpt, logger
+            variables["params"], cfg.model.pretrained_detector_ckpt, logger,
+            fold_bn=cfg.model.fold_bn,
         )
         variables = dict(variables, params=jax.tree.map(jnp.asarray, new_params))
     tx = make_optimizer(cfg.solver, variables["params"],

@@ -125,6 +125,9 @@ class DetectorConfig:
     resnet_groups: int = 32  # ResNeXt 32x8d (reference defaults.py:613-616)
     resnet_width_per_group: int = 8
     freeze_conv_body_at: int = 2
+    # fold the frozen backbone's BN affines into the conv weights at
+    # build/import time (models/backbone/resnet.py fold_frozen_bn_params)
+    fold_bn: bool = True
     fpn_channels: int = 256
     use_depth: bool = True  # depth R-18 backbone (reference backbone.py:83-93)
     # anchors (reference anchor_generator.py:34, neural-motifs ratios)

@@ -8,7 +8,10 @@ that are deliberate:
   * FrozenBatchNorm is folded to a per-channel (scale, bias) affine — the
     detector is entirely frozen during relation training
     (tools/relation_train_net.py:161-165), so running stats never update and
-    the fold is exact.  The torch→jax weight importer performs the fold.
+    the fold is exact.  The torch→jax weight importer performs that fold.
+    With ``fold_bn=True`` the affine folds ALL the way into the conv
+    weights (kernel *= scale, bias = bn bias; `fold_frozen_bn_params`
+    converts an unfolded tree), removing every BN elementwise pass.
   * compute in a configurable dtype (bf16 by default), params in f32.
 
 Architecture parity (maskrcnn-benchmark R-101-FPN 32x8d):
@@ -65,6 +68,7 @@ class GroupedConv3x3(nn.Module):
     groups: int
     stride: int = 1
     dense_max_width: int = 512
+    use_bias: bool = False  # set by the fold_bn path (bias absorbs the BN)
     dtype: Any = jnp.float32
 
     def _merge_factor(self) -> int:
@@ -112,14 +116,20 @@ class GroupedConv3x3(nn.Module):
             kd = jnp.einsum("abihjo,kj->abkihjo", k6, eye).reshape(
                 3, 3, m * cg, self.features
             )
-            return jax.lax.conv_general_dilated(
+            y = jax.lax.conv_general_dilated(
                 x, kd, (self.stride, self.stride), ((1, 1), (1, 1)),
                 feature_group_count=g_new, dimension_numbers=dn,
             )
-        return jax.lax.conv_general_dilated(
-            x, kernel, (self.stride, self.stride), ((1, 1), (1, 1)),
-            feature_group_count=self.groups, dimension_numbers=dn,
-        )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (self.stride, self.stride), ((1, 1), (1, 1)),
+                feature_group_count=self.groups, dimension_numbers=dn,
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class Bottleneck(nn.Module):
@@ -130,35 +140,47 @@ class Bottleneck(nn.Module):
     stride: int = 1
     groups: int = 1
     stride_in_1x1: bool = True
+    # fold the (frozen) BN affine into the conv weights: convs grow a bias,
+    # the FrozenBatchNorm modules disappear.  The detector is frozen during
+    # relation training, so the fold is exact; `fold_frozen_bn_params`
+    # converts an unfolded tree (e.g. a torch import) into this layout.
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[-1]
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        fold = self.fold_bn
+
+        def bn(name, feats, y):
+            if fold:
+                return y
+            return FrozenBatchNorm(feats, self.dtype, name=name)(y)
 
         shortcut = x
         if in_channels != self.out_channels or self.stride != 1:
             shortcut = nn.Conv(
                 self.out_channels, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
+                use_bias=fold, dtype=self.dtype, name="downsample_conv",
             )(x)
-            shortcut = FrozenBatchNorm(self.out_channels, self.dtype, name="downsample_bn")(shortcut)
+            shortcut = bn("downsample_bn", self.out_channels, shortcut)
 
         y = nn.Conv(
             self.bottleneck_channels, (1, 1), strides=(s1, s1),
-            use_bias=False, dtype=self.dtype, name="conv1",
+            use_bias=fold, dtype=self.dtype, name="conv1",
         )(x)
-        y = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn1")(y)
+        y = bn("bn1", self.bottleneck_channels, y)
         y = nn.relu(y)
         y = GroupedConv3x3(
             features=self.bottleneck_channels, groups=self.groups,
-            stride=s3, dtype=self.dtype, name="conv2",
+            stride=s3, use_bias=fold, dtype=self.dtype, name="conv2",
         )(y)
-        y = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn2")(y)
+        y = bn("bn2", self.bottleneck_channels, y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(self.out_channels, self.dtype, name="bn3")(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=fold,
+                    dtype=self.dtype, name="conv3")(y)
+        y = bn("bn3", self.out_channels, y)
         return nn.relu(y + shortcut)
 
 
@@ -174,15 +196,18 @@ class ResNetBody(nn.Module):
     groups: int = 32
     width_per_group: int = 8
     stride_in_1x1: bool = True
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
         # --- stem (resnet.py BaseStem)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
-        x = FrozenBatchNorm(64, self.dtype, name="stem_bn")(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=self.fold_bn, dtype=self.dtype,
+                    name="stem_conv")(x)
+        if not self.fold_bn:
+            x = FrozenBatchNorm(64, self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -198,6 +223,7 @@ class ResNetBody(nn.Module):
                     stride=stride,
                     groups=self.groups,
                     stride_in_1x1=self.stride_in_1x1,
+                    fold_bn=self.fold_bn,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x)
@@ -217,6 +243,7 @@ class ResNetFPNBackbone(nn.Module):
     groups: int = 32
     width_per_group: int = 8
     fpn_channels: int = 256
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -227,7 +254,68 @@ class ResNetFPNBackbone(nn.Module):
             stage_blocks=self.stage_blocks,
             groups=self.groups,
             width_per_group=self.width_per_group,
+            fold_bn=self.fold_bn,
             dtype=self.dtype,
             name="body",
         )(x)
         return FPN(out_channels=self.fpn_channels, dtype=self.dtype, name="fpn")(body_outs)
+
+
+def fold_frozen_bn_params(body_params):
+    """Convert an UNFOLDED ResNet body param tree into the ``fold_bn=True``
+    layout: every (conv, FrozenBatchNorm) pair becomes a conv with
+    ``kernel' = kernel * scale`` (per output channel) and ``bias = bn.bias``.
+
+    Exact because the detector is frozen (running stats never update,
+    tools/relation_train_net.py:161-165).  Use on torch-imported trees:
+    ``params['backbone']['body'] = fold_frozen_bn_params(...)``.
+    """
+    import numpy as np
+
+    out = {}
+    pairs = {"stem_conv": "stem_bn"}
+    for name in body_params:
+        if name.startswith("layer"):
+            for conv, bn in (("conv1", "bn1"), ("conv2", "bn2"),
+                             ("conv3", "bn3"),
+                             ("downsample_conv", "downsample_bn")):
+                if conv in body_params[name]:
+                    pairs[(name, conv)] = (name, bn)
+
+    def get(path):
+        node = body_params
+        for p in (path if isinstance(path, tuple) else (path,)):
+            node = node[p]
+        return node
+
+    def setp(tree, path, value):
+        node = tree
+        path = path if isinstance(path, tuple) else (path,)
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    handled = set()
+    for conv_path, bn_path in pairs.items():
+        conv = get(conv_path)
+        bn = get(bn_path)
+        scale = np.asarray(bn["scale"])
+        kernel = np.asarray(conv["kernel"]) * scale  # out dim is last
+        setp(out, conv_path, {"kernel": jnp.asarray(kernel),
+                              "bias": jnp.asarray(bn["bias"])})
+        handled.add(conv_path if isinstance(conv_path, tuple) else (conv_path,))
+        handled.add(bn_path if isinstance(bn_path, tuple) else (bn_path,))
+
+    # copy everything not part of a folded pair
+    def copy_rest(src, dst, prefix=()):
+        for k, v in src.items():
+            path = prefix + (k,)
+            if path in handled:
+                continue
+            if isinstance(v, dict):
+                copy_rest(v, dst, path)
+            else:
+                setp(dst, path, v)
+
+    copy_rest(body_params, out)
+    return out

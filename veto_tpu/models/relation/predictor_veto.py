@@ -330,14 +330,18 @@ class VetoEncoder(nn.Module):
             from veto_tpu.ops.fused_encoder import fused_encoder_layer
 
             d = self.dim
-            t_pad = -(-t // 8) * 8
+            # minimal token padding Mosaic accepts: multiples of 4 lower
+            # (19 is rejected); 19→20 instead of 19→24 cuts 17% of the
+            # padded FLOPs — measured 186.7→166.3 ms encoder fwd+bwd at
+            # flagship shapes (8192 pairs, v5e)
+            t_pad = -(-t // 4) * 4
             xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
             xp = xp.reshape(n * t_pad, d)
             for p in layer_params:
                 p16 = type(p)(*[
                     w.astype(self.dtype) if w.ndim == 2 else w for w in p
                 ])
-                xp = fused_encoder_layer(xp, p16, self.heads, t_pad, t, 16, 4)
+                xp = fused_encoder_layer(xp, p16, self.heads, t_pad, t)
             # CLS token of every pair = row i * t_pad
             return xp.reshape(n, t_pad, d)[:, 0]
         # 'xla' / 'pair_attn': layer stack with per-layer attention choice

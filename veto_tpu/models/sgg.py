@@ -119,6 +119,11 @@ class SGGModel(nn.Module):
     # encoder implementation: 'xla' (portable) | 'fused' (Pallas, TPU)
     veto_encoder_impl: str = "xla"
     embed_dim: int = 200
+    # fold the frozen detector's BatchNorm affines into the conv weights
+    # (backbone/resnet.py fold_frozen_bn_params); removes every BN
+    # elementwise pass from the hot path — exact, since the detector is
+    # frozen (relation_train_net.py:161-165)
+    fold_bn: bool = False
     dtype: Any = jnp.bfloat16
 
     LEGACY_PREDICTORS = (
@@ -145,7 +150,7 @@ class SGGModel(nn.Module):
         self.backbone = ResNetFPNBackbone(
             stage_blocks=self.stage_blocks, groups=self.groups,
             width_per_group=self.width_per_group, fpn_channels=self.fpn_channels,
-            dtype=self.dtype,
+            fold_bn=self.fold_bn, dtype=self.dtype,
         )
         self.depth_backbone = DepthResNet18(dtype=self.dtype)
         self.rpn = RPNHead(

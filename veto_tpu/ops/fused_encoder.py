@@ -145,15 +145,22 @@ def _param_specs(p: EncoderLayerParams):
     return [_full_spec(*w.shape) for w in p]
 
 
+# default pair-block sizes (pairs per kernel invocation); benches override
+# these module globals before tracing to sweep the tiling
+FUSED_BLOCK = 16
+FUSED_BWD_BLOCK = 4
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def fused_encoder_layer(x: jnp.ndarray, params: EncoderLayerParams,
                         heads: int, t_pad: int, t_valid: int,
-                        block: int = 16, bwd_block: int = 4) -> jnp.ndarray:
+                        block: int = None, bwd_block: int = None) -> jnp.ndarray:
     """x (P*t_pad, D) → one transformer layer; see module docstring."""
     return _fwd(x, params, heads, t_pad, t_valid, block, bwd_block)[0]
 
 
-def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=4):
+def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=None):
+    block = FUSED_BLOCK if block is None else block
     rows_total, d = x.shape
     blk = block * t_pad
     while rows_total % blk:
@@ -337,6 +344,7 @@ def _ln_bwd(dout, c, inv, scale):
 
 
 def _bwd(heads, t_pad, t_valid, block, bwd_block, res, dy):
+    bwd_block = FUSED_BWD_BLOCK if bwd_block is None else bwd_block
     x, params = res
     rows_total, d = x.shape
     f = params.w1.shape[1]

@@ -155,7 +155,7 @@ def _pad_tokens(x, t_pad):
 
 def _fwd(q, k, v, heads, block):
     p, t, d = q.shape
-    t_pad = -(-t // 8) * 8  # sublane-aligned token count
+    t_pad = -(-t // 4) * 4  # minimal Mosaic-accepted token padding
     blk = _choose_block(p, block)
     rows = blk * t_pad
     scale = (d // heads) ** -0.5
@@ -176,7 +176,7 @@ def _fwd(q, k, v, heads, block):
 def _bwd(heads, block, res, do):
     q, k, v = res
     p, t, d = q.shape
-    t_pad = -(-t // 8) * 8
+    t_pad = -(-t // 4) * 4
     blk = _choose_block(p, block)
     rows = blk * t_pad
     scale = (d // heads) ** -0.5

@@ -176,10 +176,45 @@ def apply_updates(params, updates: Dict[Tuple[str, ...], np.ndarray], logger=Non
     return params, loaded, skipped
 
 
-def import_detector_weights(params, ckpt_path: str, logger=None):
-    """One-call import: torch checkpoint file → updated flax params."""
+_BN_FOR_CONV = {
+    "conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
+    "downsample_conv": "downsample_bn", "stem_conv": "stem_bn",
+}
+
+
+def fold_detector_updates(updates):
+    """Fold backbone-body BN updates into their conv updates
+    (models/backbone/resnet.py fold_bn layout): kernel *= scale (output
+    channel is the trailing dim for both nn.Conv HWIO and GroupedConv3x3),
+    conv gains ``bias`` = bn bias, the bn entries disappear."""
+    bn_names = set(_BN_FOR_CONV.values())
+    out = {}
+    for path, arr in updates.items():
+        if "body" in path and len(path) >= 2:
+            mod, leaf = path[-2], path[-1]
+            if mod in _BN_FOR_CONV and leaf == "kernel":
+                bn = path[:-2] + (_BN_FOR_CONV[mod],)
+                scale = updates.get(bn + ("scale",))
+                if scale is not None:
+                    out[path] = np.asarray(arr) * np.asarray(scale)
+                    out[path[:-1] + ("bias",)] = updates[bn + ("bias",)]
+                    continue
+            if mod in bn_names:
+                continue  # absorbed into the conv
+        out[path] = arr
+    return out
+
+
+def import_detector_weights(params, ckpt_path: str, logger=None,
+                            fold_bn: bool = False):
+    """One-call import: torch checkpoint file → updated flax params.
+
+    ``fold_bn=True`` targets a model built with ``fold_bn=True`` (BN
+    affines folded into conv kernels/biases)."""
     sd = load_torch_state_dict(ckpt_path)
     updates = detector_param_updates(sd)
+    if fold_bn:
+        updates = fold_detector_updates(updates)
     return apply_updates(params, updates, logger)
 
 
