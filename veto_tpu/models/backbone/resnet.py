@@ -74,15 +74,20 @@ class GroupedConv3x3(nn.Module):
     def _merge_factor(self) -> int:
         """Groups merged per conv group (block-diagonal within the merge).
 
-        Measured on v5e at the flagship 800x1344 stage shapes (grouped 3x3
-        per stage, 20 fenced steps):
+        Measured on v5e at the flagship 800x1344 stage shapes, each stage
+        benched as its REAL chain of n grouped 3x3 convs inside one jit
+        (single-conv timings mislead — XLA's layout choices differ once
+        convs chain; round-3 re-sweep, ms per chain):
 
-          stage | width | native g=32 | merge 8 (g=4) | dense
-          ------|-------|-------------|---------------|------
-            1   |  256  |   65.8 ms   |    18.6       | 14.6  ← dense
-            2   |  512  |   28.0      |    11.8       | 18.6  ← merge 8
-            3   | 1024  |   63.3      |    47.1       | 104.8 ← merge 8
-            4   | 2048  |    5.0      |     6.2       | 13.8  ← native
+          width | n  | m=1  | m=2  | m=4  | m=8  | m=16 | dense
+          ------|----|------|------|------|------|------|------
+            256 |  3 |      |      |      | 12.3 |  9.9 | 13.2  ← merge 16
+            512 |  4 |      | 11.5 |  8.7 |  6.7 | 10.0 |       ← merge 8
+           1024 | 23 | 26.4 | 16.7 | 13.1 | 23.2 |      |       ← merge 4
+           2048 |  3 |  3.5 |  3.3 |  4.0 |      |      |       ← merge 2
+
+        m=4 at width 1024 makes each merged group exactly one 128x128 MXU
+        tile (K = 4*32 = 128).
 
         Merging m groups multiplies the 3x3 FLOPs by m but gives the MXU
         m-times-wider channel blocks; the sweet spot shifts down as width
@@ -90,11 +95,13 @@ class GroupedConv3x3(nn.Module):
         """
         if self.groups == 1:
             return 1
-        if self.features <= self.dense_max_width // 2:  # ≤256: fully dense
-            return self.groups
-        if self.features <= 2 * self.dense_max_width:   # 512/1024: merge 8
+        if self.features <= self.dense_max_width // 2:  # ≤256: merge 16
+            return min(16, self.groups)
+        if self.features <= self.dense_max_width:        # 512: merge 8
             return min(8, self.groups)
-        return 1                                         # ≥2048: native
+        if self.features <= 2 * self.dense_max_width:    # 1024: merge 4
+            return min(4, self.groups)
+        return min(2, self.groups)                       # ≥2048: merge 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
