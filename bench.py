@@ -51,8 +51,10 @@ def main():
     from veto_tpu.solver.optim import make_optimizer
 
     # full-size flagship with the fused Pallas encoder (ops/fused_encoder)
+    # and FrozenBN folded into the conv weights (the production default,
+    # config.model.fold_bn)
     model = SGGModel(dtype=jnp.bfloat16, veto_remat=False,
-                     veto_encoder_impl="fused")
+                     veto_encoder_impl="fused", fold_bn=True)
     ds = SyntheticSGGDataset(
         num_images=BATCH, image_size=IMAGE_HW, max_objects=MAX_BOXES - 1,
         min_objects=8, max_relations=20, seed=0,

@@ -76,3 +76,27 @@ def test_fold_detector_updates():
     assert ("backbone", "body", "layer1_block0", "bn1", "scale") not in out
     assert ("rpn", "conv", "kernel") in out
     assert len(out) == 3
+
+
+def test_stem_s2d_exact():
+    """Space-to-depth stem rewrite == plain 7x7/2 conv (resnet.py
+    stem_conv_s2d): same params, identical output up to matmul
+    reassociation."""
+    from veto_tpu.models.backbone.resnet import StemConv
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 32, 48, 3).astype(np.float32))
+    plain = StemConv(use_bias=True, s2d=False)
+    fast = StemConv(use_bias=True, s2d=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    a = plain.apply(v, x)
+    b = fast.apply(v, x)
+    assert a.shape == b.shape == (2, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+    # odd input sizes fall back to the plain conv
+    xo = x[:, :31, :47]
+    c = fast.apply(v, xo)
+    d = plain.apply(v, xo)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d),
+                               atol=2e-5, rtol=1e-5)

@@ -211,7 +211,8 @@ def test_grouped_conv_merge_variants_identical():
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 10, 12, 64).astype(np.float32))
-    for features, want_merge in ((64, 32), (512, 8), (2048, 1)):
+    # expected factors = the round-3 measured policy (resnet.py _merge_factor)
+    for features, want_merge in ((64, 16), (512, 8), (1024, 4), (2048, 2)):
         m = GroupedConv3x3(features=features, groups=32, dense_max_width=512)
         assert m._merge_factor() == want_merge
         v = m.init(jax.random.PRNGKey(0), x)

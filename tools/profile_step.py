@@ -64,7 +64,7 @@ def main():
     from veto_tpu.solver.optim import make_optimizer
 
     model = SGGModel(dtype=jnp.bfloat16, veto_remat=False,
-                     veto_encoder_impl="fused")
+                     veto_encoder_impl="fused", fold_bn=True)
     ds = SyntheticSGGDataset(
         num_images=args.batch, image_size=hw, max_objects=args.boxes - 1,
         min_objects=8, max_relations=20, seed=0,

@@ -1,0 +1,115 @@
+"""Sweep the fused-encoder tiling (block, attn_sub, bwd_block) on-chip.
+
+Times the 6-layer encoder stack fwd+bwd at flagship shapes
+(8 images x 1024 pairs, t=19 -> t_pad=20, d=576, f=1152, h=6) for each
+tiling candidate.  Used to pick the FUSED_* module defaults in
+ops/fused_encoder.py; results recorded in BASELINE.md.
+
+Usage: python tools/sweep_fused_encoder.py [--pairs 8192] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import veto_tpu.ops.fused_encoder as fe
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=8192)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--t", type=int, default=19)
+    ap.add_argument("--d", type=int, default=576)
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--fwd-only", action="store_true")
+    args = ap.parse_args()
+
+    t_pad = -(-args.t // 4) * 4
+    d, f = args.d, 2 * args.d
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.randn(args.pairs * t_pad, d).astype(np.float32) * 0.1,
+        dtype=jnp.bfloat16)
+    params = [fe.EncoderLayerParams(
+        ln1_scale=jnp.ones((d,)), ln1_bias=jnp.zeros((d,)),
+        w_qkv=jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.02),
+        w_out=jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.02),
+        b_out=jnp.zeros((d,)),
+        ln2_scale=jnp.ones((d,)), ln2_bias=jnp.zeros((d,)),
+        w1=jnp.asarray(rng.randn(d, f).astype(np.float32) * 0.02),
+        b1=jnp.zeros((f,)),
+        w2=jnp.asarray(rng.randn(f, d).astype(np.float32) * 0.02),
+        b2=jnp.zeros((d,)),
+    ) for _ in range(args.layers)]
+
+    def stack(x, ps, block, bwd_block, attn_sub):
+        for p in ps:
+            p16 = type(p)(*[w.astype(jnp.bfloat16) if w.ndim == 2 else w
+                            for w in p])
+            x = fe.fused_encoder_layer(x, p16, args.heads, t_pad, args.t,
+                                       block, bwd_block, attn_sub)
+        return x
+
+    def loss(x, ps, block, bwd_block, attn_sub):
+        return stack(x, ps, block, bwd_block, attn_sub).astype(
+            jnp.float32).sum()
+
+    grid = list(itertools.product([8, 16, 32], [2, 4, 8, None],
+                                  [4, 8, 16]))
+    results = []
+    for block, attn_sub, bwd_block in grid:
+        sub_eff = block if attn_sub is None else min(attn_sub, block)
+        if (block % sub_eff) or (args.fwd_only and bwd_block != 4):
+            continue
+        try:
+            if args.fwd_only:
+                fn = jax.jit(lambda x: stack(x, params, block, None,
+                                             attn_sub))
+                out = fn(x)
+                _ = float(out.astype(jnp.float32).sum())
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    out = fn(x)
+                _ = float(out.astype(jnp.float32).sum())
+            else:
+                # grad wrt x AND params — the train step differentiates the
+                # relation head's weights, so the dW matmuls must be timed
+                fn = jax.jit(jax.grad(
+                    lambda x, ps: loss(x, ps, block, bwd_block, attn_sub),
+                    argnums=(0, 1)))
+                g, gp = fn(x, params)
+                _ = float(g.astype(jnp.float32)[0, 0])
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    g, gp = fn(x, params)
+                _ = (float(g.astype(jnp.float32)[0, 0])
+                     + float(gp[0].w_qkv[0, 0]))
+            ms = (time.perf_counter() - t0) / args.steps * 1e3
+            results.append((ms, block, attn_sub, bwd_block))
+            print(f"block={block:3d} attn_sub={str(attn_sub):>4} "
+                  f"bwd_block={bwd_block:3d}  {ms:8.2f} ms", flush=True)
+        except Exception as e:  # VMEM overflow etc.
+            print(f"block={block:3d} attn_sub={str(attn_sub):>4} "
+                  f"bwd_block={bwd_block:3d}  FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+    if results:
+        results.sort()
+        ms, block, attn_sub, bwd_block = results[0]
+        print(f"\nBEST: block={block} attn_sub={attn_sub} "
+              f"bwd_block={bwd_block}  {ms:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,47 @@ class GroupedConv3x3(nn.Module):
         return y
 
 
+def stem_conv_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
+                  dtype: Any) -> jnp.ndarray:
+    """7x7/2 stem conv as space-to-depth(2) + 4x4/1 conv — exact rewrite.
+
+    With C_in=3 the MXU pads the contraction to 8 channels, so the plain
+    7x7 conv runs at 7*7*3/ (7*7*8) = 37% useful K at best (measured
+    ~3.4 TF/s, ~12 ms of the flagship step).  Space-to-depth by 2 gives a
+    12-channel input and a 4x4 kernel (the 7 stride-2 taps span 4 s2d
+    pixels), raising useful K to 7*7*3/(4*4*12) = 77% on an
+    MXU-friendlier shape.  The parameter keeps the reference (7,7,3,64)
+    layout — the remap below is traced per step and fuses to nothing.
+
+    Derivation: output row i reads input rows u = 2i+du, du ∈ [-3,3];
+    u = 2(i-2+a)+r2 with tap a = (du+4)//2 ∈ [0,3] and parity r2 = u mod 2,
+    i.e. du = 2(a-2)+r2 (du=-4 ⇔ (a=0, r2=0) never occurs → zero weights).
+    Padding 3 on the original rows becomes (2,1) on s2d rows.
+    """
+    n, h, w, c = x.shape
+    o = kernel.shape[-1]
+    xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+    k4 = jnp.zeros((4, 4, 4 * c, o), kernel.dtype)
+    for a in range(4):
+        for r2 in range(2):
+            du = 2 * (a - 2) + r2
+            if not -3 <= du <= 3:
+                continue
+            for b in range(4):
+                for c2 in range(2):
+                    dv = 2 * (b - 2) + c2
+                    if not -3 <= dv <= 3:
+                        continue
+                    slot = r2 * 2 + c2
+                    k4 = k4.at[a, b, slot * c:(slot + 1) * c].set(
+                        kernel[du + 3, dv + 3])
+    return jax.lax.conv_general_dilated(
+        xs.astype(dtype), k4.astype(dtype), (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class Bottleneck(nn.Module):
     """1x1 → grouped 3x3 → 1x1 bottleneck (resnet.py Bottleneck:252)."""
 
@@ -191,6 +232,33 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv; param layout identical to ``nn.Conv`` (so the
+    torch importer is unaffected) with an optional space-to-depth execution
+    path (`stem_conv_s2d`) used whenever the input H,W are even."""
+
+    use_bias: bool = False
+    s2d: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64), jnp.float32)
+        if self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            y = stem_conv_s2d(x, kernel, self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (2, 2),
+                ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (64,),
+                              jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ResNetBody(nn.Module):
     """Stem + residual stages; returns feature maps C2..C5 (NHWC).
 
@@ -204,15 +272,15 @@ class ResNetBody(nn.Module):
     width_per_group: int = 8
     stride_in_1x1: bool = True
     fold_bn: bool = False
+    stem_s2d: bool = True  # space-to-depth stem rewrite (exact; needs even H,W)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
         # --- stem (resnet.py BaseStem)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=self.fold_bn, dtype=self.dtype,
-                    name="stem_conv")(x)
+        x = StemConv(use_bias=self.fold_bn, s2d=self.stem_s2d,
+                     dtype=self.dtype, name="stem_conv")(x)
         if not self.fold_bn:
             x = FrozenBatchNorm(64, self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
@@ -251,6 +319,7 @@ class ResNetFPNBackbone(nn.Module):
     width_per_group: int = 8
     fpn_channels: int = 256
     fold_bn: bool = False
+    stem_s2d: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -262,6 +331,7 @@ class ResNetFPNBackbone(nn.Module):
             groups=self.groups,
             width_per_group=self.width_per_group,
             fold_bn=self.fold_bn,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
             name="body",
         )(x)

@@ -89,38 +89,50 @@ def _mask(rows, t_pad, t_valid):
     return same & real_key
 
 
-def _attention(qkv, heads, t_pad, t_valid, dtype):
-    """Block-diagonal masked attention over the flattened block sequence."""
+def _attention(qkv, heads, t_pad, t_valid, dtype, sub_rows=None):
+    """Block-diagonal masked attention over the flattened block sequence.
+
+    Attention only mixes rows of the SAME pair, so the (rows, rows) score
+    matrix is block-diagonal at t_pad granularity: computing it over the
+    whole pair block wastes a factor block/sub of the score/PV FLOPs.
+    ``sub_rows`` tiles the sequence into sub-blocks of that many rows
+    (a multiple of t_pad) and runs attention per tile — same math, the
+    cross-tile scores were all masked anyway.
+    """
     rows, d3 = qkv.shape
     d = d3 // 3
     dh = d // heads
     scale = dh ** -0.5
-    mask = _mask(rows, t_pad, t_valid)
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh]
-        k = qkv[:, d + h * dh:d + (h + 1) * dh]
-        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        p = jax.nn.softmax(jnp.where(mask, s, _NEG), axis=-1).astype(dtype)
-        outs.append(jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype))
-    return jnp.concatenate(outs, axis=-1)
+    sub = rows if sub_rows is None else min(sub_rows, rows)
+    mask = _mask(sub, t_pad, t_valid)
+    sub_outs = []
+    for s0 in range(0, rows, sub):
+        outs = []
+        for h in range(heads):
+            q = qkv[s0:s0 + sub, h * dh:(h + 1) * dh]
+            k = qkv[s0:s0 + sub, d + h * dh:d + (h + 1) * dh]
+            v = qkv[s0:s0 + sub, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jax.nn.softmax(jnp.where(mask, s, _NEG), axis=-1).astype(dtype)
+            outs.append(jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype))
+        sub_outs.append(jnp.concatenate(outs, axis=-1))
+    return sub_outs[0] if len(sub_outs) == 1 else jnp.concatenate(sub_outs, axis=0)
 
 
 def _fwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
-                w2, b2, y_ref, *, heads, t_pad, t_valid):
+                w2, b2, y_ref, *, heads, t_pad, t_valid, sub_rows=None):
     dtype = x_ref.dtype
     x = x_ref[:]
     h1, _, _ = _ln(x, ln1s[:], ln1b[:])
     h1 = h1.astype(dtype)
     qkv = jnp.dot(h1, wqkv[:], preferred_element_type=jnp.float32).astype(dtype)
-    att = _attention(qkv, heads, t_pad, t_valid, dtype)
+    att = _attention(qkv, heads, t_pad, t_valid, dtype, sub_rows)
     a = (jnp.dot(att, wout[:], preferred_element_type=jnp.float32)
          + bout[:]).astype(dtype)
     x1 = x + a
@@ -145,21 +157,43 @@ def _param_specs(p: EncoderLayerParams):
     return [_full_spec(*w.shape) for w in p]
 
 
-# default pair-block sizes (pairs per kernel invocation); benches override
-# these module globals before tracing to sweep the tiling
+# default pair-block sizes (pairs per kernel invocation) and attention
+# sub-tile (pairs per block-diagonal attention matmul); benches override
+# these module globals before tracing to sweep the tiling.
+# Round-3 sweep (tools/sweep_fused_encoder.py, 8192 pairs t_pad=20 on v5e):
+# 6-layer fwd+bwd is FLAT at 178-186 ms across block ∈ {8,16,32} and
+# attn_sub ∈ {2,4,8,full} — the kernel runs near its matmul asymptote, so
+# the block-diagonal attention waste is not the binding constraint; keep
+# full-block attention (None) and block=16 / bwd_block=4 (VMEM-safe).
 FUSED_BLOCK = 16
 FUSED_BWD_BLOCK = 4
+FUSED_ATTN_SUB = None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _sub_rows(blk, t_pad, attn_sub):
+    """Largest attention sub-tile ≤ attn_sub pairs that divides the block;
+    None (the measured default) = attention over the whole block."""
+    attn_sub = FUSED_ATTN_SUB if attn_sub is None else attn_sub
+    if attn_sub is None:
+        return blk
+    sub = max(1, min(attn_sub, blk // t_pad))
+    while (blk // t_pad) % sub:
+        sub -= 1
+    return sub * t_pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def fused_encoder_layer(x: jnp.ndarray, params: EncoderLayerParams,
                         heads: int, t_pad: int, t_valid: int,
-                        block: int = None, bwd_block: int = None) -> jnp.ndarray:
+                        block: int = None, bwd_block: int = None,
+                        attn_sub: int = None) -> jnp.ndarray:
     """x (P*t_pad, D) → one transformer layer; see module docstring."""
-    return _fwd(x, params, heads, t_pad, t_valid, block, bwd_block)[0]
+    return _fwd(x, params, heads, t_pad, t_valid, block, bwd_block,
+                attn_sub)[0]
 
 
-def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=None):
+def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=None,
+         attn_sub=None):
     block = FUSED_BLOCK if block is None else block
     rows_total, d = x.shape
     blk = block * t_pad
@@ -167,7 +201,8 @@ def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=None):
         blk //= 2
     y = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, t_pad=t_pad,
-                          t_valid=t_valid),
+                          t_valid=t_valid,
+                          sub_rows=_sub_rows(blk, t_pad, attn_sub)),
         out_shape=jax.ShapeDtypeStruct((rows_total, d), x.dtype),
         grid=(rows_total // blk,),
         in_specs=[_row_spec(blk, d)] + _param_specs(params),
@@ -181,7 +216,7 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
                 w2, b2, dy_ref,
                 dx_ref, dh2_ref, ddf1_ref, dg_ref,
                 vd_ref, vf_ref, dwqkv_ref, dwout_ref,
-                *, heads, t_pad, t_valid):
+                *, heads, t_pad, t_valid, sub_rows=None):
     """Recompute forward, emit dx + the FFN factors (h2, df1, g) for the
     XLA-side dW1/dW2 matmuls, and accumulate everything else in VMEM:
     all vector grads plus dWqkv = h1^T dqkv and dWout = att^T dx1 (their
@@ -200,24 +235,28 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
     h1 = h1f.astype(dtype)
     qkv = jnp.dot(h1, wqkv[:], preferred_element_type=jnp.float32).astype(dtype)
     rows = x.shape[0]
-    mask = _mask(rows, t_pad, t_valid)
-    ps = []
-    att_parts = []
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh]
-        k = qkv[:, d + h * dh:d + (h + 1) * dh]
-        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        p = jax.nn.softmax(jnp.where(mask, s, _NEG), axis=-1)
-        ps.append(p)
-        att_parts.append(jax.lax.dot_general(
-            p.astype(dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype))
-    att = jnp.concatenate(att_parts, axis=-1)
+    sub = rows if sub_rows is None else min(sub_rows, rows)
+    mask = _mask(sub, t_pad, t_valid)
+    ps = {}
+    att_subs = []
+    for s0 in range(0, rows, sub):
+        att_parts = []
+        for h in range(heads):
+            q = qkv[s0:s0 + sub, h * dh:(h + 1) * dh]
+            k = qkv[s0:s0 + sub, d + h * dh:d + (h + 1) * dh]
+            v = qkv[s0:s0 + sub, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jax.nn.softmax(jnp.where(mask, s, _NEG), axis=-1)
+            ps[(s0, h)] = p
+            att_parts.append(jax.lax.dot_general(
+                p.astype(dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype))
+        att_subs.append(jnp.concatenate(att_parts, axis=-1))
+    att = att_subs[0] if len(att_subs) == 1 else jnp.concatenate(att_subs, axis=0)
     a = (jnp.dot(att, wout[:], preferred_element_type=jnp.float32)
          + bout[:]).astype(dtype)
     x1 = x + a
@@ -246,43 +285,47 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
     # attention out-proj: a = att @ wout + bout
     datt = jnp.dot(dx1.astype(dtype), wout[:].T,
                    preferred_element_type=jnp.float32)
-    # attention backward per head → dqkv
-    dqkv_parts_q = []
-    dqkv_parts_k = []
-    dqkv_parts_v = []
+    # attention backward per sub-block per head → dqkv
     dattb = datt.astype(dtype)
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh]
-        k = qkv[:, d + h * dh:d + (h + 1) * dh]
-        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        p = ps[h]
-        pb = p.astype(dtype)
-        do = dattb[:, h * dh:(h + 1) * dh]
-        dv = jax.lax.dot_general(
-            pb, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = (ds * scale).astype(dtype)
-        dq = jax.lax.dot_general(
-            dsb, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk = jax.lax.dot_general(
-            dsb, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dqkv_parts_q.append(dq)
-        dqkv_parts_k.append(dk)
-        dqkv_parts_v.append(dv)
-    dqkv = jnp.concatenate(
-        [jnp.concatenate(dqkv_parts_q, axis=-1),
-         jnp.concatenate(dqkv_parts_k, axis=-1),
-         jnp.concatenate(dqkv_parts_v, axis=-1)], axis=-1)
+    dqkv_subs = []
+    for s0 in range(0, rows, sub):
+        dqkv_parts_q = []
+        dqkv_parts_k = []
+        dqkv_parts_v = []
+        for h in range(heads):
+            q = qkv[s0:s0 + sub, h * dh:(h + 1) * dh]
+            k = qkv[s0:s0 + sub, d + h * dh:d + (h + 1) * dh]
+            v = qkv[s0:s0 + sub, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            p = ps[(s0, h)]
+            pb = p.astype(dtype)
+            do = dattb[s0:s0 + sub, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(
+                pb, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(dtype)
+            dq = jax.lax.dot_general(
+                dsb, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_parts_q.append(dq)
+            dqkv_parts_k.append(dk)
+            dqkv_parts_v.append(dv)
+        dqkv_subs.append(jnp.concatenate(
+            [jnp.concatenate(dqkv_parts_q, axis=-1),
+             jnp.concatenate(dqkv_parts_k, axis=-1),
+             jnp.concatenate(dqkv_parts_v, axis=-1)], axis=-1))
+    dqkv = (dqkv_subs[0] if len(dqkv_subs) == 1
+            else jnp.concatenate(dqkv_subs, axis=0))
     dh1 = jnp.dot(dqkv.astype(dtype), wqkv[:].T,
                   preferred_element_type=jnp.float32)
     dx = dx1 + _ln_bwd(dh1, c1, inv1, ln1sv)
@@ -343,7 +386,7 @@ def _ln_bwd(dout, c, inv, scale):
     )
 
 
-def _bwd(heads, t_pad, t_valid, block, bwd_block, res, dy):
+def _bwd(heads, t_pad, t_valid, block, bwd_block, attn_sub, res, dy):
     bwd_block = FUSED_BWD_BLOCK if bwd_block is None else bwd_block
     x, params = res
     rows_total, d = x.shape
@@ -356,7 +399,8 @@ def _bwd(heads, t_pad, t_valid, block, bwd_block, res, dy):
     dtype = x.dtype
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, t_pad=t_pad,
-                          t_valid=t_valid),
+                          t_valid=t_valid,
+                          sub_rows=_sub_rows(blk, t_pad, attn_sub)),
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, d), dtype),       # dx
             jax.ShapeDtypeStruct((rows_total, d), dtype),       # h2
