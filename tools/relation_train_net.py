@@ -583,6 +583,7 @@ def train(cfg, logger):
             positive_fraction=cfg.relation.positive_fraction,
             mode=cfg.relation.mode, mesh=mesh, meet=meet,
             loss_variant=loss_variant, ldam_margins=ldam_m,
+            collect_diagnostics=cfg.global_buffer_on,
         )
     step_fn = shard_train_step(raw_step, mesh)
 
@@ -595,6 +596,10 @@ def train(cfg, logger):
     if start_iter:
         logger.info(f"resumed from iteration {start_iter}")
 
+    if cfg.global_buffer_on:
+        from veto_tpu.utils import global_buffer
+
+        global_buffer.enable(True)
     meters = MetricLogger()
     writer = JSONLWriter(cfg.output_dir)
     evaluator = make_sgg_evaluator(cfg, train_ds, val_ds)
@@ -607,6 +612,15 @@ def train(cfg, logger):
         batch = jax.device_put(jax.tree.map(jnp.asarray, batch), batch_sharding(mesh))
         scale = jnp.asarray(ctrl.scale(it), jnp.float32)
         state, metrics = step_fn(state, batch, scale)
+        buf = metrics.pop("buffer", None) if isinstance(metrics, dict) else None
+        if buf is not None and cfg.global_buffer_on:
+            from veto_tpu.utils import global_buffer
+
+            bh = jax.device_get(buf)
+            global_buffer.store_data("rel_pn-train_y", bh["rel_pn-train_y"],
+                                     mask=bh["mask"])
+            global_buffer.store_data("rel_pn-train_pred",
+                                     bh["rel_pn-train_pred"], mask=bh["mask"])
 
         now = time.time()
         meters.update(time=now - t_prev, **jax.device_get(metrics))
@@ -640,6 +654,12 @@ def train(cfg, logger):
                 break
 
     ckpt.save(int(state.step), state)
+    if cfg.global_buffer_on:
+        from veto_tpu.utils import global_buffer
+
+        path = global_buffer.save_buffer(cfg.output_dir)
+        if path:
+            logger.info(f"saved global buffer: {path}")
     logger.info("training done")
     return state
 
@@ -654,6 +674,10 @@ def main():
     from veto_tpu.utils.logger import setup_logger
 
     cfg = load_config(args.config, args.opts)
+    if cfg.global_buffer_on:
+        from veto_tpu.utils import global_buffer
+
+        global_buffer.enable(True)
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.dump(os.path.join(cfg.output_dir, "config.json"))
     logger = setup_logger("veto_tpu", cfg.output_dir, rank=jax.process_index())

@@ -89,7 +89,7 @@ def main():
             batch.obj_logits, pair_idx, pair_mask, train=False,
             method="relate",
         )
-        return jnp.sum(out.rel_dists.astype(jnp.float32))
+        return jnp.sum(out.rel_logits.astype(jnp.float32))
 
     relate_fwd = jax.jit(relate_loss)
     relate_fb = jax.jit(jax.grad(relate_loss))

@@ -269,6 +269,10 @@ class Config:
     dtype: str = "bfloat16"  # compute dtype; params are always f32
     glove_dir: str = ""
     pred_counts_path: str = ""  # reference hard-codes this; here a config key
+    # collect rel-PN relness diagnostics into utils/global_buffer and dump
+    # inter_data_buffer.pkl at exit (reference _C.GLOBAL_BUFFER_ON,
+    # config/defaults.py:24)
+    global_buffer_on: bool = False
 
     # ------------------------------------------------------------------
     def replace(self, **kwargs) -> "Config":

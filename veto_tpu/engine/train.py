@@ -186,8 +186,16 @@ def make_train_step(
     meet=None,
     loss_variant: str = "weighted_ce",
     ldam_margins: Optional[np.ndarray] = None,
+    collect_diagnostics: bool = False,
 ) -> Callable[[TrainState, SGGBatch, jnp.ndarray], tuple]:
-    """Build the jitted train step: (state, batch, lr_scale) → (state, metrics)."""
+    """Build the jitted train step: (state, batch, lr_scale) → (state, metrics).
+
+    ``collect_diagnostics`` adds a non-scalar ``buffer`` entry to the
+    metrics (rel-PN relness targets/scores + pair mask) for the host-side
+    global debug buffer (utils/global_buffer.py; reference
+    rel_proposal_network/models.py:346-356) when the predictor emits
+    relness logits.
+    """
     cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
     ldam_m = None if ldam_margins is None else jnp.asarray(ldam_margins)
 
@@ -226,6 +234,7 @@ def make_train_step(
                     bp, samples.binary_rel, batch.box_mask
                 )
             rl = getattr(out, "relness_logits", None)
+            diag = {}
             if rl is not None:
                 # RelatednessTestPredictor auxiliary RelAwareLoss
                 # (roi_relation_predictors.py:2770-2780)
@@ -235,17 +244,24 @@ def make_train_step(
                 losses["pre_rel_classify_loss"] = rel_aware_focal_loss(
                     rl, samples.labels, samples.mask, model.num_rel_classes
                 )
+                if collect_diagnostics:
+                    diag = {
+                        "rel_pn-train_y": (samples.labels > 0),
+                        "rel_pn-train_pred": jax.nn.sigmoid(
+                            rl[..., -1].astype(jnp.float32)),
+                        "mask": samples.mask,
+                    }
             if mode != "predcls":
                 obj_loss = weighted_ce_loss(
                     out.obj_dists, batch.labels, batch.box_mask, None
                 )
                 losses["obj_loss"] = obj_loss
             total = sum(losses.values())
-            return total, (losses, mutated["batch_stats"], new_loss_state)
+            return total, (losses, mutated["batch_stats"], new_loss_state,
+                           diag)
 
-        (total, (losses, new_stats, new_loss_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (total, (losses, new_stats, new_loss_state, diag)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
 
         opt_state = state.opt_state
         opt_state.hyperparams["lr_scale"] = lr_scale.astype(jnp.float32)
@@ -255,6 +271,8 @@ def make_train_step(
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        if diag:
+            metrics["buffer"] = diag
         new_state = state.replace(
             step=state.step + 1,
             params=params,
