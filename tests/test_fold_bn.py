@@ -100,3 +100,17 @@ def test_stem_s2d_exact():
     d = plain.apply(v, xo)
     np.testing.assert_allclose(np.asarray(c), np.asarray(d),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_stem_s2d_exact_one_channel():
+    """1-channel variant (the depth backbone's conv1)."""
+    from veto_tpu.models.backbone.resnet import StemConv
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 32, 48, 1).astype(np.float32))
+    plain = StemConv(features=32, s2d=False)
+    fast = StemConv(features=32, s2d=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(plain.apply(v, x)),
+                               np.asarray(fast.apply(v, x)),
+                               atol=2e-5, rtol=1e-5)

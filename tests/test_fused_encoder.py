@@ -63,6 +63,30 @@ def test_fused_layer_matches_reference_fwd_and_grads():
             err_msg=name)
 
 
+def test_stash_backward_bit_identical():
+    """The stashed-qkv/x1 backward (FUSED_STASH) must produce bit-identical
+    gradients to the recompute backward: the stash holds the exact bf16/f32
+    values the recompute path would rebuild."""
+    P, T, TP, D, F, H = 8, 19, 24, 96, 192, 6
+    rng = np.random.RandomState(4)
+    params = _params(rng, D, F)
+    x = jnp.asarray(rng.randn(P * TP, D).astype(np.float32))
+
+    def loss(stash):
+        def f(x, p):
+            out = fe.fused_encoder_layer(x, p, H, TP, T, 4, None, None, stash)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    ga = jax.grad(loss(True), argnums=(0, 1))(x, params)
+    gb = jax.grad(loss(False), argnums=(0, 1))(x, params)
+    np.testing.assert_array_equal(np.asarray(ga[0]), np.asarray(gb[0]))
+    for name in params._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ga[1], name)), np.asarray(getattr(gb[1], name)),
+            err_msg=name)
+
+
 def test_pair_attention_matches_reference():
     P, T, D, H = 16, 19, 96, 6
     rng = np.random.RandomState(1)

@@ -106,3 +106,60 @@ def test_multilevel_select(rng):
     # pooling; equal within float32 noise
     np.testing.assert_allclose(out[0], lvl0[0], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(out[1], lvl3[0], rtol=1e-5, atol=1e-6)
+
+
+def test_separable_matches_gather_formulation(rng):
+    """The separable-matmul forward == the per-sample gather oracle on
+    borderline rois: OOB (< -1 and > H), border-snapped, and degenerate
+    (< 1px) boxes — the CUDA semantics corner cases."""
+    from veto_tpu.ops.roi_align import _roi_align_gather
+
+    feat = rng.randn(20, 28, 5).astype(np.float32)
+    rois = np.array([
+        [-40.0, -40.0, -20.0, -20.0],   # fully out of range → zeros
+        [-6.0, -6.0, 10.0, 8.0],        # straddles the top-left border
+        [20.0, 12.0, 60.0, 44.0],       # straddles the bottom-right border
+        [5.0, 5.0, 5.2, 5.2],           # degenerate → 1px
+        [2.0, 3.0, 26.0, 18.0],         # interior
+    ], np.float32)
+    a = roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, 2)
+    b = _roi_align_gather(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+    assert np.abs(np.asarray(a[0])).max() == 0.0
+
+
+def test_multilevel_separable_matches_gather(rng):
+    from veto_tpu.ops.roi_align import _multilevel_roi_align_gather
+
+    feats = [jnp.asarray(rng.randn(32 // 2**i, 40 // 2**i, 4).astype(np.float32))
+             for i in range(4)]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    rois = jnp.asarray(np.array([
+        [4.0, 4.0, 60.0, 52.0],
+        [0.0, 0.0, 500.0, 400.0],
+        [10.0, 10.0, 11.0, 11.0],
+        [-8.0, -4.0, 30.0, 20.0],
+    ], np.float32))
+    a = multilevel_roi_align(feats, rois, scales, 7, 2)
+    b = _multilevel_roi_align_gather(feats, rois, scales, 7, 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_separable_backward_no_scatter(rng):
+    """d feat of the separable form is itself two matmuls; check it equals
+    the gather formulation's scatter-add gradient."""
+    import jax
+
+    from veto_tpu.ops.roi_align import _roi_align_gather
+
+    feat = jnp.asarray(rng.randn(12, 16, 3).astype(np.float32))
+    rois = jnp.asarray(np.array([[1.0, 2.0, 9.0, 8.0],
+                                 [-3.0, 0.0, 20.0, 14.0]], np.float32))
+    co = jnp.asarray(rng.randn(2, 7, 7, 3).astype(np.float32))
+    ga = jax.grad(lambda f: (roi_align(f, rois, 1.0, 7, 2) * co).sum())(feat)
+    gb = jax.grad(
+        lambda f: (_roi_align_gather(f, rois, 1.0, 7, 2) * co).sum())(feat)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5,
+                               atol=1e-5)

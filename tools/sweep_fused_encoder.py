@@ -54,29 +54,29 @@ def main():
         b2=jnp.zeros((d,)),
     ) for _ in range(args.layers)]
 
-    def stack(x, ps, block, bwd_block, attn_sub):
+    def stack(x, ps, block, bwd_block, attn_sub, stash):
         for p in ps:
             p16 = type(p)(*[w.astype(jnp.bfloat16) if w.ndim == 2 else w
                             for w in p])
             x = fe.fused_encoder_layer(x, p16, args.heads, t_pad, args.t,
-                                       block, bwd_block, attn_sub)
+                                       block, bwd_block, attn_sub, stash)
         return x
 
-    def loss(x, ps, block, bwd_block, attn_sub):
-        return stack(x, ps, block, bwd_block, attn_sub).astype(
+    def loss(x, ps, block, bwd_block, attn_sub, stash):
+        return stack(x, ps, block, bwd_block, attn_sub, stash).astype(
             jnp.float32).sum()
 
-    grid = list(itertools.product([8, 16, 32], [2, 4, 8, None],
-                                  [4, 8, 16]))
+    grid = list(itertools.product([8, 16, 32], [None],
+                                  [2, 4, 8, 16], [False, True]))
     results = []
-    for block, attn_sub, bwd_block in grid:
+    for block, attn_sub, bwd_block, stash in grid:
         sub_eff = block if attn_sub is None else min(attn_sub, block)
         if (block % sub_eff) or (args.fwd_only and bwd_block != 4):
             continue
         try:
             if args.fwd_only:
                 fn = jax.jit(lambda x: stack(x, params, block, None,
-                                             attn_sub))
+                                             attn_sub, stash))
                 out = fn(x)
                 _ = float(out.astype(jnp.float32).sum())
                 t0 = time.perf_counter()
@@ -87,7 +87,8 @@ def main():
                 # grad wrt x AND params — the train step differentiates the
                 # relation head's weights, so the dW matmuls must be timed
                 fn = jax.jit(jax.grad(
-                    lambda x, ps: loss(x, ps, block, bwd_block, attn_sub),
+                    lambda x, ps: loss(x, ps, block, bwd_block, attn_sub,
+                                       stash),
                     argnums=(0, 1)))
                 g, gp = fn(x, params)
                 _ = float(g.astype(jnp.float32)[0, 0])
@@ -97,17 +98,18 @@ def main():
                 _ = (float(g.astype(jnp.float32)[0, 0])
                      + float(gp[0].w_qkv[0, 0]))
             ms = (time.perf_counter() - t0) / args.steps * 1e3
-            results.append((ms, block, attn_sub, bwd_block))
+            results.append((ms, block, attn_sub, bwd_block, stash))
             print(f"block={block:3d} attn_sub={str(attn_sub):>4} "
-                  f"bwd_block={bwd_block:3d}  {ms:8.2f} ms", flush=True)
+                  f"bwd_block={bwd_block:3d} stash={int(stash)}  "
+                  f"{ms:8.2f} ms", flush=True)
         except Exception as e:  # VMEM overflow etc.
             print(f"block={block:3d} attn_sub={str(attn_sub):>4} "
-                  f"bwd_block={bwd_block:3d}  FAILED "
+                  f"bwd_block={bwd_block:3d} stash={int(stash)}  FAILED "
                   f"{type(e).__name__}: {str(e)[:120]}", flush=True)
     if results:
         results.sort()
-        ms, block, attn_sub, bwd_block = results[0]
-        print(f"\nBEST: block={block} attn_sub={attn_sub} "
+        ms, block, attn_sub, bwd_block, stash = results[0]
+        print(f"\nBEST: stash={stash} block={block} attn_sub={attn_sub} "
               f"bwd_block={bwd_block}  {ms:.2f} ms")
 
 

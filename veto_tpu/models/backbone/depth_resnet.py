@@ -52,9 +52,14 @@ class DepthResNet18(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from veto_tpu.models.backbone.resnet import StemConv
+
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        # 7x7/2 stem as space-to-depth (exact; resnet.py stem_conv_s2d) —
+        # the 1-channel depth contraction pads K 7*7*1→8-lane multiples on
+        # the MXU; s2d(2) runs it as a 4x4/1 conv over 4 channels instead
+        x = StemConv(features=64, use_bias=False, dtype=self.dtype,
+                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)

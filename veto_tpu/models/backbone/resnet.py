@@ -235,8 +235,10 @@ class Bottleneck(nn.Module):
 class StemConv(nn.Module):
     """The 7x7/2 stem conv; param layout identical to ``nn.Conv`` (so the
     torch importer is unaffected) with an optional space-to-depth execution
-    path (`stem_conv_s2d`) used whenever the input H,W are even."""
+    path (`stem_conv_s2d`) used whenever the input H,W are even.  Works for
+    any input channel count (RGB detector stem C=3, depth backbone C=1)."""
 
+    features: int = 64
     use_bias: bool = False
     s2d: bool = True
     dtype: Any = jnp.float32
@@ -244,7 +246,7 @@ class StemConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (7, 7, 3, 64), jnp.float32)
+                            (7, 7, x.shape[-1], self.features), jnp.float32)
         if self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             y = stem_conv_s2d(x, kernel, self.dtype)
         else:
@@ -253,8 +255,8 @@ class StemConv(nn.Module):
                 ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (64,),
-                              jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
 

@@ -175,17 +175,31 @@ class VetoTrunk(nn.Module):
         si = pair_idx[..., 0]  # (B, P)
         oi = pair_idx[..., 1]
 
-        def g(x, idx):
-            return jnp.take_along_axis(
-                x, idx.reshape(b, p, *(1,) * (x.ndim - 2)).astype(jnp.int32), axis=1
-            )
+        # pair gathers as one-hot matmuls: bit-exact (0/1 weights select a
+        # single row; bf16 products/sums of selected values are exact) and
+        # the transpose — the backward that take_along_axis would turn into
+        # a serialized scatter-add over the N≤80 proposals — is itself a
+        # matmul on the MXU.
+        oh_s = jax.nn.one_hot(si, n, dtype=cdt)  # (B, P, N)
+        oh_o = jax.nn.one_hot(oi, n, dtype=cdt)
 
-        loc_tok = nn.relu(g(loc_s, si) + g(loc_o, oi) + loc_bias.astype(cdt))
-        cls_tok = nn.relu(g(cls_s, si) + g(cls_o, oi) + cls_bias.astype(cdt))
+        def g(x, onehot):
+            flat = x.reshape(b, n, -1)
+            out = jax.lax.dot_general(
+                onehot, flat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            return out.reshape((b, p) + x.shape[2:])
+
+        def gso(xs, xo):
+            return g(xs, oh_s) + g(xo, oh_o)
+
+        loc_tok = nn.relu(gso(loc_s, loc_o) + loc_bias.astype(cdt))
+        cls_tok = nn.relu(gso(cls_s, cls_o) + cls_bias.astype(cdt))
         patch_tok = jnp.concatenate(
             [
-                g(d_s, si) + g(d_o, oi) + d_bias.astype(cdt),
-                g(v_s, si) + g(v_o, oi) + v_bias.astype(cdt),
+                gso(d_s, d_o) + d_bias.astype(cdt),
+                gso(v_s, v_o) + v_bias.astype(cdt),
             ],
             axis=-1,
         )  # (B, P, 16, 576)

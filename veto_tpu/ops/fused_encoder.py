@@ -126,7 +126,8 @@ def _attention(qkv, heads, t_pad, t_valid, dtype, sub_rows=None):
 
 
 def _fwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
-                w2, b2, y_ref, *, heads, t_pad, t_valid, sub_rows=None):
+                w2, b2, y_ref, *rest, heads, t_pad, t_valid, sub_rows=None):
+    """Forward layer; with stash outputs, ``rest = (qkv_ref, x1_ref)``."""
     dtype = x_ref.dtype
     x = x_ref[:]
     h1, _, _ = _ln(x, ln1s[:], ln1b[:])
@@ -142,6 +143,10 @@ def _fwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
     g = _gelu_exact(f1).astype(dtype)
     f2 = (jnp.dot(g, w2[:], preferred_element_type=jnp.float32) + b2[:]).astype(dtype)
     y_ref[:] = x1 + f2
+    if rest:
+        qkv_ref, x1_ref = rest
+        qkv_ref[:] = qkv
+        x1_ref[:] = x1
 
 
 def _row_spec(rows, d):
@@ -160,14 +165,24 @@ def _param_specs(p: EncoderLayerParams):
 # default pair-block sizes (pairs per kernel invocation) and attention
 # sub-tile (pairs per block-diagonal attention matmul); benches override
 # these module globals before tracing to sweep the tiling.
-# Round-3 sweep (tools/sweep_fused_encoder.py, 8192 pairs t_pad=20 on v5e):
-# 6-layer fwd+bwd is FLAT at 178-186 ms across block ∈ {8,16,32} and
-# attn_sub ∈ {2,4,8,full} — the kernel runs near its matmul asymptote, so
-# the block-diagonal attention waste is not the binding constraint; keep
-# full-block attention (None) and block=16 / bwd_block=4 (VMEM-safe).
-FUSED_BLOCK = 16
+# Round-3 sweeps (tools/sweep_fused_encoder.py, 8192 pairs t_pad=20, v5e):
+# fwd+bwd is FLAT across attn_sub ∈ {2,4,8,full} — the kernel runs near
+# its matmul asymptote, so block-diagonal attention waste is not the
+# binding constraint; keep full-block attention (None).  With the qkv/x1
+# stash (below): stash=1 bwd_block=4 wins at every block size (170.5 /
+# 172.0 / 176.4 ms for block 8/16/32 vs 178.2/179.4/181.8 without), and
+# block=8 also edges fwd-only (48.5 vs 49.9/53.1 ms) → block=8.
+# bwd_block=8 overflows VMEM (compile failure), 2 serializes (239 ms).
+FUSED_BLOCK = 8
 FUSED_BWD_BLOCK = 4
 FUSED_ATTN_SUB = None
+# stash qkv + x1 in the forward kernel (bf16, bit-identical to the values
+# the backward used to recompute) so the backward skips its two largest
+# recomputed matmuls (qkv: D*3D, out-proj: D*D per row).  The FFN-1 matmul
+# and gelu stay recomputed: stashing f1 needs f32 for gradient parity and
+# the extra VMEM forces a smaller forward block.  Traffic cost ~0.76 GB/layer
+# round-trip vs ~0.44 TFLOP/layer compute saved.
+FUSED_STASH = True
 
 
 def _sub_rows(blk, t_pad, attn_sub):
@@ -182,47 +197,71 @@ def _sub_rows(blk, t_pad, attn_sub):
     return sub * t_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def fused_encoder_layer(x: jnp.ndarray, params: EncoderLayerParams,
                         heads: int, t_pad: int, t_valid: int,
                         block: int = None, bwd_block: int = None,
-                        attn_sub: int = None) -> jnp.ndarray:
+                        attn_sub: int = None,
+                        stash: bool = None) -> jnp.ndarray:
     """x (P*t_pad, D) → one transformer layer; see module docstring."""
     return _fwd(x, params, heads, t_pad, t_valid, block, bwd_block,
-                attn_sub)[0]
+                attn_sub, stash)[0]
 
 
 def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=None,
-         attn_sub=None):
+         attn_sub=None, stash=None):
     block = FUSED_BLOCK if block is None else block
+    stash = FUSED_STASH if stash is None else stash
     rows_total, d = x.shape
     blk = block * t_pad
     while rows_total % blk:
         blk //= 2
-    y = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((rows_total, d), x.dtype)
+    out_spec = _row_spec(blk, d)
+    if stash:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((rows_total, 3 * d), x.dtype),
+                     jax.ShapeDtypeStruct((rows_total, d), x.dtype)]
+        out_spec = [out_spec, _row_spec(blk, 3 * d), _row_spec(blk, d)]
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, t_pad=t_pad,
                           t_valid=t_valid,
                           sub_rows=_sub_rows(blk, t_pad, attn_sub)),
-        out_shape=jax.ShapeDtypeStruct((rows_total, d), x.dtype),
+        out_shape=out_shape,
         grid=(rows_total // blk,),
         in_specs=[_row_spec(blk, d)] + _param_specs(params),
-        out_specs=_row_spec(blk, d),
+        out_specs=out_spec,
         interpret=INTERPRET,
     )(x, *params)
-    return y, (x, params)
+    if stash:
+        y, qkv, x1 = outs
+        return y, (x, params, qkv, x1)
+    return outs, (x, params, None, None)
 
 
 def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
-                w2, b2, dy_ref,
-                dx_ref, dh2_ref, ddf1_ref, dg_ref,
-                vd_ref, vf_ref, dwqkv_ref, dwout_ref,
-                *, heads, t_pad, t_valid, sub_rows=None):
+                w2, b2, dy_ref, *rest,
+                heads, t_pad, t_valid, sub_rows=None):
     """Recompute forward, emit dx + the FFN factors (h2, df1, g) for the
     XLA-side dW1/dW2 matmuls, and accumulate everything else in VMEM:
     all vector grads plus dWqkv = h1^T dqkv and dWout = att^T dx1 (their
     factor tensors are the largest — keeping them in-kernel removes
     ~1.4 GB of HBM round-trips per layer).
+
+    With stashed inputs ``rest = (qkv_ref, x1_ref, *out_refs)`` the qkv
+    and out-proj recomputation matmuls are skipped: qkv/x1 are the exact
+    bf16 values the forward wrote, so gradients are bit-identical to the
+    recompute path.  The per-pair attention (scores -> softmax -> p @ v)
+    is still re-run from qkv — it is ~2% of the skipped matmul FLOPs.
     """
+    if len(rest) == 10:
+        qkv_ref, x1_ref = rest[:2]
+        (dx_ref, dh2_ref, ddf1_ref, dg_ref,
+         vd_ref, vf_ref, dwqkv_ref, dwout_ref) = rest[2:]
+    else:
+        qkv_ref = x1_ref = None
+        (dx_ref, dh2_ref, ddf1_ref, dg_ref,
+         vd_ref, vf_ref, dwqkv_ref, dwout_ref) = rest
     dtype = x_ref.dtype
     d = x_ref.shape[-1]
     dh = d // heads
@@ -233,7 +272,11 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
     ln1sv, ln1bv = ln1s[:], ln1b[:]
     h1f, c1, inv1 = _ln(x, ln1sv, ln1bv)
     h1 = h1f.astype(dtype)
-    qkv = jnp.dot(h1, wqkv[:], preferred_element_type=jnp.float32).astype(dtype)
+    if qkv_ref is None:
+        qkv = jnp.dot(h1, wqkv[:],
+                      preferred_element_type=jnp.float32).astype(dtype)
+    else:
+        qkv = qkv_ref[:]
     rows = x.shape[0]
     sub = rows if sub_rows is None else min(sub_rows, rows)
     mask = _mask(sub, t_pad, t_valid)
@@ -257,9 +300,12 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
             ).astype(dtype))
         att_subs.append(jnp.concatenate(att_parts, axis=-1))
     att = att_subs[0] if len(att_subs) == 1 else jnp.concatenate(att_subs, axis=0)
-    a = (jnp.dot(att, wout[:], preferred_element_type=jnp.float32)
-         + bout[:]).astype(dtype)
-    x1 = x + a
+    if x1_ref is None:
+        a = (jnp.dot(att, wout[:], preferred_element_type=jnp.float32)
+             + bout[:]).astype(dtype)
+        x1 = x + a
+    else:
+        x1 = x1_ref[:]
     ln2sv, ln2bv = ln2s[:], ln2b[:]
     h2f, c2, inv2 = _ln(x1, ln2sv, ln2bv)
     h2 = h2f.astype(dtype)
@@ -386,9 +432,9 @@ def _ln_bwd(dout, c, inv, scale):
     )
 
 
-def _bwd(heads, t_pad, t_valid, block, bwd_block, attn_sub, res, dy):
+def _bwd(heads, t_pad, t_valid, block, bwd_block, attn_sub, stash, res, dy):
     bwd_block = FUSED_BWD_BLOCK if bwd_block is None else bwd_block
-    x, params = res
+    x, params, qkv_s, x1_s = res
     rows_total, d = x.shape
     f = params.w1.shape[1]
     # backward emits ~6 output tiles per input tile — a smaller block keeps
@@ -397,6 +443,9 @@ def _bwd(heads, t_pad, t_valid, block, bwd_block, attn_sub, res, dy):
     while rows_total % blk:
         blk //= 2
     dtype = x.dtype
+    stash_args = () if qkv_s is None else (qkv_s, x1_s)
+    stash_specs = ([] if qkv_s is None
+                   else [_row_spec(blk, 3 * d), _row_spec(blk, d)])
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, t_pad=t_pad,
                           t_valid=t_valid,
@@ -413,7 +462,7 @@ def _bwd(heads, t_pad, t_valid, block, bwd_block, attn_sub, res, dy):
         ],
         grid=(rows_total // blk,),
         in_specs=[_row_spec(blk, d)] + _param_specs(params)
-        + [_row_spec(blk, d)],
+        + [_row_spec(blk, d)] + stash_specs,
         out_specs=[
             _row_spec(blk, d), _row_spec(blk, d), _row_spec(blk, f),
             _row_spec(blk, f),
@@ -421,7 +470,7 @@ def _bwd(heads, t_pad, t_valid, block, bwd_block, attn_sub, res, dy):
             _full_spec(d, 3 * d), _full_spec(d, d),
         ],
         interpret=INTERPRET,
-    )(x, *params, dy)
+    )(x, *params, dy, *stash_args)
     dx, h2, df1, g, vd, vf, d_wqkv, d_wout = outs
 
     # ---- the remaining weight grads: roofline XLA matmuls
