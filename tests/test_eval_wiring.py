@@ -94,6 +94,40 @@ def test_make_sgg_evaluator_wires_everything(tmp_path):
     assert ev3.stagewise is None
 
 
+def test_relness_rides_eval_path_into_stagewise():
+    """relness on RelPrediction reaches the stagewise rel-PN diagnostics
+    through accumulate_eval (postprocess reorders it with the pairs)."""
+    import jax
+    import jax.numpy as jnp
+    from relation_train_net import accumulate_eval
+    from veto_tpu.evaluation.sgg_eval import SGGEvaluator
+    from veto_tpu.models.relation.postprocess import postprocess_relations
+
+    rng = np.random.RandomState(0)
+    n, p, c = 4, 6, 8
+    pair_idx = np.array([[0, 1], [1, 0], [0, 2], [2, 0], [1, 2], [2, 1]])
+    relness = rng.uniform(size=(p,)).astype(np.float32)
+    pred = postprocess_relations(
+        jnp.asarray(rng.randn(p, c), jnp.float32),
+        jnp.asarray(rng.randn(n, 5), jnp.float32),
+        jnp.asarray(pair_idx), jnp.ones((p,), bool),
+        jnp.asarray(relness),
+    )
+    # reordered with the triple-score sort, not dropped
+    assert pred.relness is not None
+    assert sorted(np.asarray(pred.relness).tolist()) == sorted(relness.tolist())
+
+    ev = SGGEvaluator(mode="sgcls", num_rel_classes=c, stagewise=True)
+    batched = jax.tree_util.tree_map(lambda x: np.asarray(x)[None], pred)
+    boxes = np.array([[0, 0, 30, 30], [40, 40, 70, 70], [10, 50, 40, 80],
+                      [60, 0, 90, 30]], np.float32)
+    rec = {"boxes": boxes, "labels": np.array([1, 2, 3, 4]),
+           "rel_tuples": np.array([[0, 1, 3], [2, 0, 5]])}
+    accumulate_eval("predcls", batched, [rec], ev)
+    assert ev.stagewise.rel_pn  # AP entries recorded
+    assert any(k.startswith("ap-iter0") for k in ev.stagewise.rel_pn)
+
+
 def test_vg_longtail_parts_reorder_permutation():
     from veto_tpu.data.predicate_stats import VG_PREDICATE_NEW_ORDER
     from veto_tpu.evaluation.sgg_eval import (

@@ -29,14 +29,14 @@ def _intersect_2d(x1, x2):
     return (x1[..., None] == x2.T[None, ...]).all(1)
 
 
-def load_reference_stagewise():
+def load_reference_stagewise(rel_pn_on=False):
     cfg = _AttrDict()
     rh = cfg.MODEL.ROI_RELATION_HEAD
     rh.VG_NUM_CLASSES = NUM_REL
     rh.NUM_CLASSES = NUM_REL
     rh.MAX_PROPOSAL_PAIR = 2048
     rh.RELATION_PROPOSAL_MODEL.PAIR_NUMS_AFTER_FILTERING = -1
-    rh.RELATION_PROPOSAL_MODEL.SET_ON = False
+    rh.RELATION_PROPOSAL_MODEL.SET_ON = rel_pn_on
     rh.BGNN_MODULE.MP_ON_VALID_PAIRS = False
     rh.PREDICTOR = "VETOPredictor"
     rh.LONGTAIL_PART_DICT = [None] + ["t"] * (NUM_REL - 1)
@@ -173,6 +173,57 @@ def test_stagewise_matches_reference():
         np.testing.assert_array_equal(
             ours.per_cls_hit[t],
             ev_ref.relation_per_cls_hit_recall[t].numpy(), err_msg=t)
+
+
+def test_rel_pn_ap_auc_matches_reference():
+    """The rel-PN relness ranking diagnostics (reference sgg_eval.py
+    :963-1082, sklearn ROC + 9-point thresholded AP) vs our NumPy port."""
+    from veto_tpu.evaluation.sgg_eval import StagewiseEvaluator
+
+    ref = load_reference_stagewise(rel_pn_on=True)
+    mode = "sgcls"
+    rd = {}
+    ev_ref = ref.SGStagewiseRecall(rd)
+    ev_ref.register_container(mode)
+    assert ev_ref.rel_pn_on
+
+    ours = StagewiseEvaluator(mode, NUM_REL, valid_rel_prop_num=300)
+
+    rng = np.random.RandomState(23)
+    for n_obj, n_gt, n_pred in ((6, 5, 24), (8, 7, 30), (5, 3, 14),
+                                (7, 9, 40)):
+        im = fake_image(rng, n_obj, n_gt, n_pred)
+        relness = rng.uniform(0.0, 1.0, (n_pred, 1))
+        gt_bl = StageBoxList(im["gt_boxes"], (100, 100),
+                             labels=torch.from_numpy(im["gt_classes"]))
+        pred_bl = StageBoxList(
+            im["pred_boxes"], (100, 100),
+            pred_labels=torch.from_numpy(im["pred_classes"]),
+            pred_scores=torch.from_numpy(im["obj_scores"]),
+            pred_rel_scores=torch.from_numpy(im["rel_scores"]),
+            rel_pair_idxs=torch.from_numpy(im["pred_rel_inds"]),
+            relness=torch.from_numpy(relness),
+        )
+        ev_ref.calculate_recall(
+            mode, {"iou_thres": 0.5}, gt_bl,
+            torch.from_numpy(im["gt_rels"]), pred_bl,
+            im["pred_rel_inds"], im["rel_scores"],
+        )
+        ours.add_image(
+            im["gt_boxes"], im["gt_classes"], im["gt_rels"],
+            im["pred_boxes"], im["pred_classes"],
+            im["pred_rel_inds"], im["rel_scores"], relness=relness,
+        )
+
+    for key in ("ap-iter0-top300", "ap-iter0-top100",
+                "auc-iter0-top300", "auc-iter0-top100"):
+        ref_vals = rd[f"{mode}_stage_recall_rel_pn_{key}"]
+        np.testing.assert_allclose(
+            ours.rel_pn[key], ref_vals, rtol=1e-9, atol=1e-12,
+            err_msg=key)
+    agg = ours.aggregate()
+    assert "rel_pn" in agg and "ap-iter0-top300" in agg["rel_pn"]
+    assert "rel-PN ranking" in ours.summary_string()
 
 
 def test_longtail_part_split():

@@ -396,10 +396,12 @@ def accumulate_eval(kind, preds_out, recs, evaluator, input_sizes=None,
     for i, rec in enumerate(recs):
         n = len(rec["boxes"])
         pm = preds.pair_mask[i]
+        relness = getattr(preds, "relness", None)
         evaluator.add_image(
             rec["boxes"], rec["labels"], rec["rel_tuples"], rec["boxes"],
             preds.obj_labels[i][:n], preds.obj_scores[i][:n],
             preds.pair_idx[i][pm], preds.rel_scores[i][pm],
+            relness=None if relness is None else relness[i][pm],
         )
         if oi_evaluator is not None:
             _feed_oi(oi_evaluator, rec, rec["boxes"],

@@ -313,8 +313,13 @@ def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls",
             pair_mask,
             train=False,
         )
+        # rel-PN pair confidence for the stagewise ranking diagnostics
+        # (reference keeps it as a "relness" boxlist field)
+        relness = out.relness_logits
+        if relness is not None:
+            relness = jax.nn.sigmoid(relness.astype(jnp.float32))
         return jax.vmap(postprocess_relations)(
-            out.rel_logits, out.obj_dists, pair_idx, pair_mask
+            out.rel_logits, out.obj_dists, pair_idx, pair_mask, relness
         )
 
     return eval_step

@@ -237,12 +237,16 @@ class SGGEvaluator:
         obj_scores: np.ndarray,
         pred_rel_inds: np.ndarray,
         rel_scores: np.ndarray,
+        relness: Optional[np.ndarray] = None,
     ) -> None:
         """Evaluate one image.
 
         ``pred_rel_inds`` (P, 2) must already be sorted by triple score
         descending; ``rel_scores`` is the (P, C) per-predicate softmax with
-        background at column 0.
+        background at column 0.  ``relness`` (P,) or (P, I) optionally
+        carries rel-PN pair-confidence scores aligned with the pairs, one
+        column per rel-PN iteration, enabling the stagewise evaluator's
+        ranking AP/AUC diagnostics (reference sgg_eval.py:963-1082).
         """
         gt_rels = np.asarray(gt_rels)
         if gt_rels.shape[0] == 0:
@@ -257,7 +261,7 @@ class SGGEvaluator:
         if self.stagewise is not None and pred_rel_inds.shape[0] > 0:
             self.stagewise.add_image(
                 gt_boxes, gt_classes, gt_rels, pred_boxes, pred_classes,
-                pred_rel_inds, rel_scores,
+                pred_rel_inds, rel_scores, relness=relness,
             )
 
         # ---------------- pair accuracy bookkeeping (predcls/sgcls)
@@ -463,6 +467,54 @@ def compute_zeroshot_triplets(train_dataset, eval_dataset) -> np.ndarray:
     return np.asarray(unseen, dtype=np.int64).reshape(-1, 3)
 
 
+def _roc_auc(y: np.ndarray, scores: np.ndarray) -> float:
+    """ROC-AUC of binary labels ``y`` under ranking ``scores`` — NumPy
+    equivalent of the reference's ``sklearn.metrics.roc_curve`` + ``auc``
+    (sgg_eval.py:965-978).  Returns NaN when only one class is present
+    (sklearn's behavior, which the reference uses to skip the entry)."""
+    y = np.asarray(y, np.float64)
+    pos = y.sum()
+    neg = len(y) - pos
+    if pos == 0 or neg == 0:
+        return float("nan")
+    order = np.argsort(-scores, kind="stable")
+    y = y[order]
+    s = np.asarray(scores, np.float64)[order]
+    tps = np.cumsum(y)
+    fps = np.cumsum(1.0 - y)
+    # one curve point per distinct threshold (last index of each run)
+    last = np.r_[np.nonzero(np.diff(s))[0], len(s) - 1]
+    tpr = np.r_[0.0, tps[last] / pos]
+    fpr = np.r_[0.0, fps[last] / neg]
+    return float(np.trapezoid(tpr, fpr))
+
+
+def _rel_pn_ap(scores: np.ndarray, posb_tp: np.ndarray, total_gt: float,
+               pred_range: int) -> float:
+    """The reference's ``eval_ap`` (sgg_eval.py:980-1037): precision/recall
+    at relness thresholds 0.1..0.9 over the top-``pred_range`` ranked
+    pairs, VOC-style interpolated area.  ``posb_tp[p]`` is the GT-relation
+    index pair ``p`` localizes (−1 = none); tp counts unique GT hit,
+    fp counts unique values among the non-matching set (the reference's
+    ``len(unique(posb_tp[fp_idx]))`` — 0 or 1, all entries are −1)."""
+    order = np.argsort(-scores, kind="stable")[:pred_range]
+    top_scores = scores[order]
+    prs, recs = [], []
+    for t in range(1, 10):
+        sel = order[top_scores > t * 0.1]
+        matched = posb_tp[sel]
+        tp = len(np.unique(matched[matched >= 0]))
+        fp = 1 if (matched < 0).any() else 0
+        prs.append(tp / (tp + fp + 1e-4))
+        recs.append(tp / (total_gt + 1e-4))
+    mrec = np.concatenate(([0.0], recs, [1.0]))
+    mpre = np.concatenate(([0.0], prs, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    i = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
+
+
 # ----------------------------------------------------------------------
 # stage-wise diagnostic recall (reference sgg_eval.py SGStagewiseRecall
 # :582-1207)
@@ -485,16 +537,24 @@ class StagewiseEvaluator:
     with the GT pair list; that expansion is equivalent to the dense
     (pred_pair × gt_rel) match matrices computed here.
 
-    The rel-PN AP/AUC diagnostics (:963-1082) require per-iteration
-    relness scores and are intentionally out of scope.
+    The rel-PN AP/AUC diagnostics (:963-1082) run when per-pair relness
+    scores are supplied to :meth:`add_image` (``relness`` (P, I), one
+    column per rel-PN iteration): each column is ranked, matched against
+    the pair-localization hits, and scored as ROC-AUC plus the
+    reference's 9-point thresholded AP — NumPy reimplementations of its
+    sklearn ``eval_roc`` / ``eval_ap`` helpers.
     """
 
     def __init__(self, mode: str, num_rel_classes: int,
-                 ks: Sequence[int] = (20, 50, 100), iou_thres: float = 0.5):
+                 ks: Sequence[int] = (20, 50, 100), iou_thres: float = 0.5,
+                 valid_rel_prop_num: int = 300):
         self.mode = mode
         self.num_rel = num_rel_classes
         self.ks = tuple(ks)
         self.iou_thres = iou_thres
+        # top-N relness ranking window (reference vaild_rel_prop_num =
+        # REL_PROP.VALID_PAIRS_NUM, sgg_eval.py:668)
+        self.valid_rel_prop_num = valid_rel_prop_num
         self.hit_types = ("pair_loc", "pair_det", "pred_cls", "rel_hit")
         self.reset()
 
@@ -504,6 +564,9 @@ class StagewiseEvaluator:
         self.inst_det_recall: List[float] = []
         self.eff_pair_rate: List[float] = []
         self.eff_pair_range: List[float] = []
+        # rel-PN ranking diagnostics (sgg_eval.py:963-1082): keyed
+        # "ap-iter{i}-top{n}" / "auc-iter{i}-top{n}"
+        self.rel_pn: Dict[str, List[float]] = {}
         # per-class (K, C, 2) tables: [:, :, 0] images-with-class-hit,
         # [:, :, 1] images-with-class-present (the reference's indexed +=
         # collapses duplicate class ids — :1177-1186)
@@ -521,6 +584,7 @@ class StagewiseEvaluator:
         pred_classes: np.ndarray,
         pred_rel_inds: np.ndarray,
         rel_scores: np.ndarray,
+        relness: Optional[np.ndarray] = None,
     ) -> None:
         gt_rels = np.asarray(gt_rels)
         num_gt = float(gt_rels.shape[0])
@@ -561,6 +625,38 @@ class StagewiseEvaluator:
             float(np.percentile(hit_rows, 95)) if len(hit_rows) else float(len(ps))
         )
 
+        # rel-PN relness ranking AP/AUC (:963-1082).  posb_tp[p] = the GT
+        # relation pair p localizes (−1 = none).  The reference scatters
+        # with duplicate indices — the surviving write is the last expanded
+        # combo row (product over matched boxes, ascending) and the last
+        # intersect hit within it, i.e. the hit with the lexicographically
+        # largest (gt_subj_box, gt_obj_box, gt_rel_index) key.
+        if relness is not None:
+            relness = np.asarray(relness, np.float64)
+            if relness.ndim == 1:
+                relness = relness[:, None]
+            n_gt = loc_pairs.shape[1]
+            r_idx = np.arange(n_gt)
+            key = (grs.astype(np.int64) * (len(gt_boxes) + 1)
+                   + gro.astype(np.int64)) * (n_gt + 1) + r_idx
+            posb_tp = np.where(
+                loc_pairs.any(1),
+                r_idx[np.argmax(np.where(loc_pairs, key[None, :], -1), axis=1)],
+                -1,
+            )
+            y = (posb_tp >= 0).astype(np.float64)
+            for it in range(relness.shape[1]):
+                sc = relness[:, it]
+                for n in (self.valid_rel_prop_num, 100):
+                    order = np.argsort(-sc, kind="stable")[:n]
+                    auc = _roc_auc(y[order], sc[order])
+                    ap = _rel_pn_ap(sc, posb_tp, num_gt, n)
+                    self.rel_pn.setdefault(
+                        f"ap-iter{it}-top{n}", []).append(ap)
+                    if not np.isnan(auc):
+                        self.rel_pn.setdefault(
+                            f"auc-iter{it}-top{n}", []).append(auc)
+
         present = np.unique(grp)
         for ki, k in enumerate(self.ks):
             for t in self.hit_types:
@@ -583,6 +679,9 @@ class StagewiseEvaluator:
             "range_p85": float(np.percentile(self.eff_pair_range, 85))
             if self.eff_pair_range else 0.0,
         }
+        if self.rel_pn:
+            out["rel_pn"] = {k: float(np.mean(v))
+                             for k, v in sorted(self.rel_pn.items())}
         return out
 
     def summary_string(self) -> str:
@@ -601,4 +700,7 @@ class StagewiseEvaluator:
             f"  effective union pairs rate: {agg['effective_pairs']['rate']:.3f} "
             f"range(p85): {agg['effective_pairs']['range_p85']:.0f}"
         )
+        if "rel_pn" in agg:
+            body = "; ".join(f"{k}: {v:.4f}" for k, v in agg["rel_pn"].items())
+            lines.append(f"  rel-PN ranking: {body}")
         return "\n".join(lines)

@@ -11,7 +11,7 @@ final padded arrays cross to the host for NumPy metric evaluation.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,9 @@ class RelPrediction(NamedTuple):
     pair_mask: jnp.ndarray      # (P,)
     obj_labels: jnp.ndarray     # (N,) predicted object classes
     obj_scores: jnp.ndarray     # (N,) predicted object scores
+    # rel-PN pair confidence aligned with pair_idx (the reference's
+    # "relness" boxlist field, models.py:757-788) — diagnostics only
+    relness: Optional[jnp.ndarray] = None  # (P,) or (P, I)
 
 
 def postprocess_relations(
@@ -33,6 +36,7 @@ def postprocess_relations(
     obj_dists: jnp.ndarray,    # (N, num_obj) logits or one-hot
     pair_idx: jnp.ndarray,     # (P, 2)
     pair_mask: jnp.ndarray,    # (P,)
+    relness: Optional[jnp.ndarray] = None,
 ) -> RelPrediction:
     """Single image; vmap over the batch axis at the call site."""
     obj_prob = jax.nn.softmax(obj_dists.astype(jnp.float32), axis=-1)
@@ -55,6 +59,7 @@ def postprocess_relations(
         pair_mask=pair_mask[order],
         obj_labels=obj_labels,
         obj_scores=obj_scores,
+        relness=None if relness is None else relness[order],
     )
 
 
