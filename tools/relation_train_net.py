@@ -220,18 +220,30 @@ def build_model(cfg):
         predictor = predictor[: -len("_MEET")]
         if predictor == "TransLike":
             predictor = "TransLikePredictor"
+    # the legacy single-scale VGG-16 body implies the reference's non-FPN
+    # geometry: all ANCHOR_SIZES on one stride-16 grid, 1/16 pooling
+    # (reference backbone.py:13-22, defaults.py:152-158)
+    if cfg.model.backbone == "VGG-16":
+        anchor_sizes = (tuple(cfg.model.anchor_sizes),)
+        anchor_strides = (16,)
+        pooler_scales = (0.0625,)
+    else:
+        anchor_sizes = cfg.model.anchor_sizes
+        anchor_strides = cfg.model.anchor_strides
+        pooler_scales = cfg.relation.pooler_scales
     return SGGModel(
         num_obj_classes=cfg.model.num_obj_classes,
         num_rel_classes=cfg.relation.num_classes,
         mode=cfg.relation.mode,
         predictor=predictor,
+        backbone_type=cfg.model.backbone,
         stage_blocks=cfg.model.stage_blocks,
         groups=cfg.model.resnet_groups,
         width_per_group=cfg.model.resnet_width_per_group,
         fpn_channels=cfg.model.fpn_channels,
         fold_bn=cfg.model.fold_bn,
-        anchor_sizes=cfg.model.anchor_sizes,
-        anchor_strides=cfg.model.anchor_strides,
+        anchor_sizes=anchor_sizes,
+        anchor_strides=anchor_strides,
         aspect_ratios=cfg.model.aspect_ratios,
         rpn_pre_nms_top_n=cfg.model.rpn_pre_nms_top_n_test,
         rpn_post_nms_top_n=cfg.model.rpn_post_nms_top_n_test,
@@ -244,7 +256,7 @@ def build_model(cfg):
         nms_filter_duplicates=cfg.model.nms_filter_duplicates,
         detections_per_img=cfg.model.box_detections_per_img,
         pooler_resolution=cfg.relation.pooler_resolution,
-        pooler_scales=cfg.relation.pooler_scales,
+        pooler_scales=pooler_scales,
         pooler_sampling_ratio=cfg.relation.pooler_sampling_ratio,
         meet_group_sizes=meet.group_sizes if meet else None,
         meet_experts=meet.experts_per_group if meet else 1,

@@ -307,6 +307,10 @@ class Config:
 def _coerce(obj: Any, name: str, value: Any) -> Any:
     """Coerce a string override to the annotated field type."""
     current = getattr(obj, name)
+    if isinstance(value, list) and isinstance(current, tuple):
+        # YAML sequences land as lists; tuple fields must stay hashable
+        # (they flow into flax Module attributes / jit static args)
+        return tuple(tuple(v) if isinstance(v, list) else v for v in value)
     if isinstance(value, str):
         if isinstance(current, bool):
             return value.lower() in ("1", "true", "yes", "on")

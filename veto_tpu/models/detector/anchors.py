@@ -38,17 +38,21 @@ def _mkanchors(ws, hs, x_ctr, y_ctr) -> np.ndarray:
 
 
 def generate_cell_anchors(
-    stride: int, size: float, aspect_ratios: Sequence[float]
+    stride: int, size, aspect_ratios: Sequence[float]
 ) -> np.ndarray:
-    """Anchors for one FPN level, centered on the (0, 0) cell.
+    """Anchors for one level, centered on the (0, 0) cell.
 
-    Matches reference ``generate_anchors(stride, (size,), ratios)``
+    Matches reference ``generate_anchors(stride, sizes, ratios)``
     (anchor_generator.py:220-249): ratio enumeration uses the rounded
-    sqrt-area rule on the (stride × stride) base window, then scales by
-    size/stride.
+    sqrt-area rule on the (stride × stride) base window, then scale
+    enumeration by size/stride.  ``size`` may be a scalar (FPN: one size
+    per level) or a tuple (non-FPN single-level RPN, e.g. VGG-16: all of
+    ANCHOR_SIZES on the stride-16 grid, defaults.py:152-155).  Anchor
+    order is ratio-major / size-fastest, matching ``_scale_enum``.
 
-    Returns: (A, 4) float32 xyxy.
+    Returns: (len(ratios) * len(sizes), 4) float32 xyxy.
     """
+    sizes = (size,) if np.isscalar(size) else tuple(size)
     base = np.array([0.0, 0.0, stride - 1.0, stride - 1.0])
     w, h, xc, yc = _whctrs(base)
     area = w * h
@@ -56,11 +60,11 @@ def generate_cell_anchors(
     ws = np.round(np.sqrt(area / ratios))
     hs = np.round(ws * ratios)
     ratio_anchors = _mkanchors(ws, hs, xc, yc)
-    scale = float(size) / float(stride)
+    scales = np.array([float(s) / float(stride) for s in sizes])
     out = []
     for a in ratio_anchors:
         w, h, xc, yc = _whctrs(a)
-        out.append(_mkanchors(np.array([w * scale]), np.array([h * scale]), xc, yc))
+        out.append(_mkanchors(w * scales, h * scales, xc, yc))
     return np.vstack(out).astype(np.float32)
 
 

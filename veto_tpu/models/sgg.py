@@ -70,7 +70,12 @@ class SGGModel(nn.Module):
     num_obj_classes: int = 151
     num_rel_classes: int = 51
     mode: str = "predcls"
-    # detector
+    # detector conv body (reference registry backbone.py:13-55): the FPN
+    # ResNet/ResNeXt family, or the legacy single-scale "VGG-16" body.
+    # With VGG-16, pass the matching non-FPN RPN/pooler geometry:
+    # anchor_sizes=((32, 64, 128, 256, 512),), anchor_strides=(16,),
+    # pooler_scales=(0.0625,) (defaults.py:152-158, vgg.py).
+    backbone_type: str = "R-101-FPN"
     stage_blocks: Tuple[int, ...] = (3, 4, 23, 3)
     groups: int = 32
     width_per_group: int = 8
@@ -147,14 +152,24 @@ class SGGModel(nn.Module):
     bgnn_mp_valid_pairs: int = 200
 
     def setup(self):
-        self.backbone = ResNetFPNBackbone(
-            stage_blocks=self.stage_blocks, groups=self.groups,
-            width_per_group=self.width_per_group, fpn_channels=self.fpn_channels,
-            fold_bn=self.fold_bn, dtype=self.dtype,
-        )
+        if self.backbone_type == "VGG-16":
+            from .backbone.vgg import VGG16Body
+            self.backbone = VGG16Body(dtype=self.dtype)
+        else:
+            self.backbone = ResNetFPNBackbone(
+                stage_blocks=self.stage_blocks, groups=self.groups,
+                width_per_group=self.width_per_group, fpn_channels=self.fpn_channels,
+                fold_bn=self.fold_bn, dtype=self.dtype,
+            )
         self.depth_backbone = DepthResNet18(dtype=self.dtype)
+        # anchors per position: len(ratios) per FPN level (one size each);
+        # len(ratios) * len(sizes) for a single-level body (scale enum)
+        sz0 = self.anchor_sizes[0]
+        sizes_per_level = len(sz0) if isinstance(sz0, (tuple, list)) else 1
         self.rpn = RPNHead(
-            mid_channels=256, num_anchors=len(self.aspect_ratios), dtype=self.dtype
+            mid_channels=256,
+            num_anchors=len(self.aspect_ratios) * sizes_per_level,
+            dtype=self.dtype,
         )
         self.box_extractor = BoxFeatureExtractor(
             mlp_dim=self.box_mlp_dim, dtype=self.dtype
@@ -272,7 +287,19 @@ class SGGModel(nn.Module):
         return tuple(jax.lax.stop_gradient(f) for f in feats)
 
     def _pool_boxes(self, feats, boxes, resolution):
-        """Multi-level 8x8/7x7 RGB pooling, vmapped over the batch."""
+        """Multi-level 8x8/7x7 RGB pooling, vmapped over the batch.
+
+        Single-level bodies (VGG-16) bypass the FPN level mapper — every
+        roi pools from the one stride-16 map (reference make_pooler with
+        one POOLER_SCALES entry skips LevelMapper, poolers.py:105-118).
+        """
+        if len(self.pooler_scales) == 1:
+            return jax.vmap(
+                lambda fs, rois: roi_align(
+                    fs, rois, self.pooler_scales[0], resolution,
+                    self.pooler_sampling_ratio,
+                )
+            )(feats[0], boxes)
         return jax.vmap(
             lambda fs, rois: multilevel_roi_align(
                 fs, rois, self.pooler_scales, resolution,

@@ -115,6 +115,19 @@ def detector_param_updates(sd: Dict[str, np.ndarray]) -> Dict[Tuple[str, ...], n
         else:
             put(("backbone", "fpn", name, "bias"), sd[k])
 
+    # ---- VGG-16 body (legacy single-scale backbone, vgg.py:32-44):
+    # checkpoint names are either torchvision ``features.<i>`` or the
+    # reference's wrapped ``backbone.conv_body.<i>`` Sequential indices
+    pat_vgg = re.compile(r"^(?:backbone\.conv_body|features)\.(\d+)\.weight$")
+    for k in list(sd):
+        m = pat_vgg.match(k)
+        if not m:
+            continue
+        idx = int(m.group(1))
+        put(("backbone", f"conv{idx}", "kernel"), _conv(sd[k]))
+        put(("backbone", f"conv{idx}", "bias"),
+            sd[k.replace(".weight", ".bias")])
+
     # ---- RPN head
     for src, dst in (("conv", "conv"), ("cls_logits", "cls_logits"),
                      ("bbox_pred", "bbox_pred")):
