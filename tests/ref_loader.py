@@ -226,3 +226,33 @@ def load_ref_rel_sampling():
         _stub("pysgg.modeling.utils", cat=_torch_cat)
 
     return load_ref_module("sampling.py", "sampling", pre_stub)
+
+
+def load_ref_retinanet_loss():
+    """The REAL rpn/retinanet/loss.py over the real Matcher, BoxCoder,
+    boxlist ops, smooth_l1 and the CPU focal-loss path (_C stubbed)."""
+    name = "pysgg.modeling.rpn.retinanet.loss"
+    mod = sys.modules.get(name)
+    if mod is not None and hasattr(mod, "RetinaNetLossComputation"):
+        return mod
+    load_ref_boxlist_ops()
+    _stub("pysgg", _C=types.SimpleNamespace())
+    _exec_ref_file("pysgg/layers/smooth_l1_loss.py", "pysgg.layers.smooth_l1_loss")
+    _exec_ref_file("pysgg/layers/sigmoid_focal_loss.py",
+                   "pysgg.layers.sigmoid_focal_loss")
+    layers = sys.modules["pysgg.layers"]
+    layers.smooth_l1_loss = sys.modules["pysgg.layers.smooth_l1_loss"].smooth_l1_loss
+    layers.SigmoidFocalLoss = sys.modules[
+        "pysgg.layers.sigmoid_focal_loss"].SigmoidFocalLoss
+    _exec_ref_file("pysgg/modeling/matcher.py", "pysgg.modeling.matcher")
+    _exec_ref_file("pysgg/modeling/box_coder.py", "pysgg.modeling.box_coder")
+    _exec_ref_file("pysgg/modeling/balanced_positive_negative_sampler.py",
+                   "pysgg.modeling.balanced_positive_negative_sampler")
+    _stub("pysgg.modeling.utils", cat=_torch_cat)
+    _ensure_pkg("pysgg.modeling.rpn",
+                os.path.join(REF_ROOT, "pysgg", "modeling", "rpn"))
+    _ensure_pkg("pysgg.modeling.rpn.retinanet",
+                os.path.join(REF_ROOT, "pysgg", "modeling", "rpn", "retinanet"))
+    _exec_ref_file("pysgg/modeling/rpn/utils.py", "pysgg.modeling.rpn.utils")
+    _exec_ref_file("pysgg/modeling/rpn/loss.py", "pysgg.modeling.rpn.loss")
+    return _exec_ref_file("pysgg/modeling/rpn/retinanet/loss.py", name)
