@@ -256,3 +256,26 @@ def load_ref_retinanet_loss():
     _exec_ref_file("pysgg/modeling/rpn/utils.py", "pysgg.modeling.rpn.utils")
     _exec_ref_file("pysgg/modeling/rpn/loss.py", "pysgg.modeling.rpn.loss")
     return _exec_ref_file("pysgg/modeling/rpn/retinanet/loss.py", name)
+
+
+def load_ref_attribute_loss():
+    """The REAL attribute_head/loss.py (AttributeHeadLossComputation)."""
+    name = "pysgg.modeling.roi_heads.attribute_head.loss"
+    mod = sys.modules.get(name)
+    if mod is not None and hasattr(mod, "AttributeHeadLossComputation"):
+        return mod
+    load_ref_boxlist_ops()
+    _exec_ref_file("pysgg/layers/smooth_l1_loss.py", "pysgg.layers.smooth_l1_loss")
+    layers = sys.modules["pysgg.layers"]
+    layers.smooth_l1_loss = sys.modules["pysgg.layers.smooth_l1_loss"].smooth_l1_loss
+    if "pysgg.modeling.matcher" not in sys.modules:
+        _exec_ref_file("pysgg/modeling/matcher.py", "pysgg.modeling.matcher")
+    if "pysgg.modeling.box_coder" not in sys.modules:
+        _exec_ref_file("pysgg/modeling/box_coder.py", "pysgg.modeling.box_coder")
+    _stub("pysgg.modeling.utils", cat=_torch_cat)
+    _ensure_pkg("pysgg.modeling.roi_heads",
+                os.path.join(REF_ROOT, "pysgg", "modeling", "roi_heads"))
+    _ensure_pkg("pysgg.modeling.roi_heads.attribute_head",
+                os.path.join(REF_ROOT, "pysgg", "modeling", "roi_heads",
+                             "attribute_head"))
+    return _exec_ref_file("pysgg/modeling/roi_heads/attribute_head/loss.py", name)

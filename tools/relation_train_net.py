@@ -237,6 +237,8 @@ def build_model(cfg):
         mode=cfg.relation.mode,
         predictor=predictor,
         backbone_type=cfg.model.backbone,
+        attribute_on=cfg.model.attribute_on,
+        num_attributes=cfg.model.num_attributes,
         stage_blocks=cfg.model.stage_blocks,
         groups=cfg.model.resnet_groups,
         width_per_group=cfg.model.resnet_width_per_group,

@@ -130,6 +130,15 @@ class DetectorConfig:
     fold_bn: bool = True
     fpn_channels: int = 256
     use_depth: bool = True  # depth R-18 backbone (reference backbone.py:83-93)
+    # attribute head (MODEL.ATTRIBUTE_ON + ROI_ATTRIBUTE_HEAD.*,
+    # reference defaults.py:34, 251-262)
+    attribute_on: bool = False
+    num_attributes: int = 201
+    attribute_loss_weight: float = 0.1
+    attribute_bgfg_sample: bool = True
+    attribute_bgfg_ratio: int = 3
+    attribute_use_binary_loss: bool = True
+    attribute_pos_weight: float = 5.0
     # anchors (reference anchor_generator.py:34, neural-motifs ratios)
     anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
     anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)

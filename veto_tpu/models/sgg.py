@@ -144,6 +144,10 @@ class SGGModel(nn.Module):
         "TransformerPredictor", "TransLikePredictor", "MotifPredictor",
         "VCTreePredictor",
     )
+    # attribute head (MODEL.ATTRIBUTE_ON, defaults.py:251-262); shares the
+    # box head's MLP features (SHARE_BOX_FEATURE_EXTRACTOR=True)
+    attribute_on: bool = False
+    num_attributes: int = 201
     # causal predictor knobs (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
     causal_effect_type: str = "none"
     causal_fusion_type: str = "sum"
@@ -177,6 +181,11 @@ class SGGModel(nn.Module):
         self.box_predictor = BoxPredictor(
             num_classes=self.num_obj_classes, dtype=self.dtype
         )
+        if self.attribute_on:
+            from .detector.attribute_head import AttributePredictor
+            self.attribute_predictor = AttributePredictor(
+                num_attributes=self.num_attributes, dtype=self.dtype
+            )
         if self.predictor in self.LEGACY_PREDICTORS:
             from .relation.legacy import (
                 AGRCNNPredictor,
@@ -316,6 +325,14 @@ class SGGModel(nn.Module):
             jax.lax.stop_gradient(logits.astype(jnp.float32)),
             jax.lax.stop_gradient(deltas.astype(jnp.float32)),
         )
+
+    def attribute_forward(self, feats, boxes):
+        """Attribute logits via the shared box-head MLP features
+        (ROIAttributeHead with SHARE_BOX_FEATURE_EXTRACTOR,
+        attribute_head.py:28-58).  (B, D, 4) boxes -> (B, D, A) logits."""
+        pooled = self._pool_boxes(feats, boxes, self.box_pooler_resolution)
+        x = self.box_extractor(pooled)
+        return self.attribute_predictor(x)
 
     # ------------------------------------------------------------------
     # detector pretraining (no stop_gradient — the detector trains)
