@@ -279,3 +279,24 @@ def load_ref_attribute_loss():
                 os.path.join(REF_ROOT, "pysgg", "modeling", "roi_heads",
                              "attribute_head"))
     return _exec_ref_file("pysgg/modeling/roi_heads/attribute_head/loss.py", name)
+
+
+def load_ref_model_motifs_with_attribute():
+    """model_motifs_with_attribute.py over the real utils_motifs /
+    utils_relation (registry import stubbed)."""
+    load_ref_utils_motifs()
+    load_ref_utils_relation()
+
+    def pre_stub():
+        import types as _t
+
+        class _Reg(dict):
+            def register(self, *a, **k):
+                return lambda f: f
+
+        _stub("pysgg.modeling", registry=_t.SimpleNamespace(
+            ROI_RELATION_PREDICTOR=_Reg()))
+        _stub("pysgg.modeling.utils", cat=_torch_cat)
+
+    return load_ref_module("model_motifs_with_attribute.py",
+                           "model_motifs_with_attribute", pre_stub)

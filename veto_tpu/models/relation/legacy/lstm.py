@@ -95,6 +95,12 @@ class HighwayDecoderLSTM(nn.Module):
     embed_dim: int = 200
     hidden: int = 512
     embed_init: Optional[np.ndarray] = None  # (num_obj + 1, embed_dim)
+    # > 0 enables the AttributeDecoderRNN variant
+    # (model_motifs_with_attribute.py:12-181): the timestep input gains a
+    # CONSTANT attribute 'start' embedding — the reference only reassigns
+    # previous_att_embed after the loop (:157), so it never updates during
+    # decoding — and a second out_att head emits per-step attribute logits.
+    num_att_classes: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -120,9 +126,24 @@ class HighwayDecoderLSTM(nn.Module):
             "obj_embed", init, (self.num_obj_classes + 1, self.embed_dim),
             jnp.float32,
         ).astype(cdt)
+        att_on = self.num_att_classes > 0
+        if att_on:
+            att_tbl = self.param(
+                "att_embed", init, (self.num_att_classes, self.embed_dim),
+                jnp.float32,
+            ).astype(cdt)
+            w_att = self.param(
+                "att_out_w", nn.initializers.lecun_normal(),
+                (h, self.num_att_classes), jnp.float32,
+            )
+            b_att = self.param(
+                "att_out_b", nn.initializers.zeros, (self.num_att_classes,),
+                jnp.float32,
+            )
+        in_dim = d + self.embed_dim * (2 if att_on else 1)
         w_in = self.param(
             "input_w", nn.initializers.lecun_normal(),
-            (d + self.embed_dim, 6 * h), jnp.float32,
+            (in_dim, 6 * h), jnp.float32,
         ).astype(cdt)
         b_in = self.param("input_b", nn.initializers.zeros, (6 * h,), jnp.float32).astype(cdt)
         w_st = self.param(
@@ -152,14 +173,23 @@ class HighwayDecoderLSTM(nn.Module):
             return out, memory
 
         start_embed = jnp.broadcast_to(embed_tbl[0], (b, self.embed_dim))
+        att_start = (
+            jnp.broadcast_to(att_tbl[0], (b, self.embed_dim)) if att_on else None
+        )
         teacher = train and gt_labels is not None
 
         def step(carry, inp):
             state, memory, prev_embed = carry
             x_t, m_t, lab_t = inp
-            tin = jnp.concatenate([x_t.astype(cdt), prev_embed], -1)
+            parts = [x_t.astype(cdt), prev_embed]
+            if att_on:
+                parts.append(att_start)
+            tin = jnp.concatenate(parts, -1)
             new_state, new_memory = cell(tin, state, memory)
             logits_t = new_state.astype(jnp.float32) @ w_out + b_out
+            att_t = (
+                new_state.astype(jnp.float32) @ w_att + b_att if att_on else 0.0
+            )
             fg_pred = (jnp.argmax(logits_t[:, 1:], axis=-1) + 1).astype(jnp.int32)
             refined = jnp.where(lab_t > 0, lab_t, fg_pred) if teacher else fg_pred
             new_embed = embed_tbl[refined + 1]
@@ -168,7 +198,7 @@ class HighwayDecoderLSTM(nn.Module):
             memory = jnp.where(keep, new_memory, memory)
             prev_embed = jnp.where(keep, new_embed, prev_embed)
             refined = jnp.where(m_t, refined, 0)
-            return (state, memory, prev_embed), (logits_t, refined)
+            return (state, memory, prev_embed), (logits_t, refined, att_t)
 
         carry = (
             jnp.zeros((b, h), cdt),
@@ -181,5 +211,8 @@ class HighwayDecoderLSTM(nn.Module):
             jnp.moveaxis(mask, 1, 0),
             jnp.moveaxis(labs.astype(jnp.int32), 1, 0),
         )
-        _, (logits, refined) = jax.lax.scan(step, carry, xs)
+        _, (logits, refined, att) = jax.lax.scan(step, carry, xs)
+        if att_on:
+            return (jnp.moveaxis(logits, 0, 1), jnp.moveaxis(refined, 0, 1),
+                    jnp.moveaxis(att, 0, 1))
         return jnp.moveaxis(logits, 0, 1), jnp.moveaxis(refined, 0, 1)

@@ -38,6 +38,9 @@ class LegacyOutput(NamedTuple):
     # MEET mode: [expert][group] (B, P, gs+2) logits (consumed by the same
     # meet_losses / postprocess machinery as VETOPredictor_MEET)
     group_logits: Optional[Tuple[Tuple[jnp.ndarray, ...], ...]] = None
+    # ATTRIBUTE_ON: (B, N, num_att) attribute logits (or GT multi-hot in
+    # predcls), roi_relation_predictors.py:1147-1150
+    att_dists: Optional[jnp.ndarray] = None
     # (B, P, C-1+1) relation-confidence logits (RelatednessTestPredictor)
     # for the auxiliary RelAwareLoss
     relness_logits: Optional[jnp.ndarray] = None
@@ -478,6 +481,146 @@ class LSTMContext(nn.Module):
         return obj_dists, obj_preds, edge_ctx
 
 
+class AttributeLSTMContext(nn.Module):
+    """Attribute-aware Motifs context (model_motifs_with_attribute.py:180-372,
+    ATTRIBUTE_ON=True).
+
+    Differences vs LSTMContext: the object stream embeds attributes too —
+    GT multi-hot (normalized) through att_embed1 when labels are given,
+    else ``normalize_sigmoid_logits(attribute_logits) @ att_embed1`` — the
+    decoder is the attribute variant (extra constant att channel + out_att
+    head, legacy/lstm.py), and the edge stream adds
+    ``normalize_sigmoid_logits(att_dists) @ att_embed2``.  In predcls the
+    att_dists output is the RAW GT multi-hot (:291), which the edge stream
+    then sigmoids — a reference quirk kept for parity.  No pos-embed
+    BatchNorm here: the reference uses Dropout instead (:219-223).
+    """
+
+    num_obj_classes: int = 151
+    num_att_classes: int = 201
+    embed_dim: int = 200
+    hidden_dim: int = 512
+    obj_layers: int = 1
+    edge_layers: int = 1
+    mode: str = "predcls"
+    embed_init: Optional[np.ndarray] = None
+    att_embed_init: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        roi_features: jnp.ndarray,
+        boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        obj_labels: jnp.ndarray,
+        attributes: jnp.ndarray,          # (B, N, 10) padded GT attribute ids
+        predict_logits: jnp.ndarray,
+        attribute_logits: Optional[jnp.ndarray],  # (B, N, A) detector head
+        image_sizes: jnp.ndarray,
+        train: bool = False,
+    ):
+        from veto_tpu.models.detector.attribute_head import attribute_targets
+        from veto_tpu.ops.box_ops import encode_box_info
+
+        cdt = self.dtype
+        oinit = (
+            nn.initializers.normal(1.0)
+            if self.embed_init is None
+            else lambda *_: jnp.asarray(self.embed_init)
+        )
+        ainit = (
+            nn.initializers.normal(1.0)
+            if self.att_embed_init is None
+            else lambda *_: jnp.asarray(self.att_embed_init)
+        )
+        obj_embed1 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                              embedding_init=oinit, dtype=cdt, name="obj_embed1")
+        obj_embed2 = nn.Embed(self.num_obj_classes, self.embed_dim,
+                              embedding_init=oinit, dtype=cdt, name="obj_embed2")
+        att_embed1 = nn.Embed(self.num_att_classes, self.embed_dim,
+                              embedding_init=ainit, dtype=cdt, name="att_embed1")
+        att_embed2 = nn.Embed(self.num_att_classes, self.embed_dim,
+                              embedding_init=ainit, dtype=cdt, name="att_embed2")
+
+        def norm_sigmoid(logits):
+            # utils_motifs.normalize_sigmoid_logits(:14-17)
+            p = jax.nn.sigmoid(logits.astype(jnp.float32))
+            return p / (p.sum(-1, keepdims=True) + 1e-12)
+
+        gt_multihot = jax.vmap(
+            lambda a: attribute_targets(a, self.num_att_classes)
+        )(attributes)
+        use_gt_label = self.mode == "predcls"
+        if use_gt_label:
+            obj_embed = obj_embed1(obj_labels)
+            gt_norm = gt_multihot / (
+                gt_multihot.sum(-1, keepdims=True) + 1e-12)
+            att_embed = gt_norm.astype(cdt) @ att_embed1.embedding.astype(cdt)
+        else:
+            probs = jax.nn.softmax(predict_logits.astype(jnp.float32), -1)
+            obj_embed = probs.astype(cdt) @ obj_embed1.embedding.astype(cdt)
+            att_embed = norm_sigmoid(attribute_logits).astype(cdt) @ \
+                att_embed1.embedding.astype(cdt)
+
+        binfo = encode_box_info(boxes, image_sizes).astype(cdt)
+        g = nn.relu(nn.Dense(32, dtype=cdt, name="pos_fc1")(binfo))
+        g = nn.relu(nn.Dense(128, dtype=cdt, name="pos_fc2")(g))
+
+        obj_pre = jnp.concatenate(
+            [roi_features.astype(cdt), obj_embed, att_embed, g], -1)
+
+        perm, inv = jax.vmap(centerx_perm)(boxes, box_mask)
+        sort = lambda x: _gather(x, perm)  # noqa: E731
+        unsort = lambda x: _gather(x, inv)  # noqa: E731
+        sorted_pre = sort(obj_pre)
+        sorted_mask = jnp.take_along_axis(box_mask, perm, axis=1)
+
+        enc = MaskedBiLSTM(self.hidden_dim, self.obj_layers, dtype=cdt,
+                           name="obj_ctx_rnn")(sorted_pre, sorted_mask)
+        enc = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_obj_h")(enc)
+
+        if self.mode == "predcls":
+            obj_preds = obj_labels
+            # utils_motifs.to_onehot: +-1000 fill, not 0/1 (:36-41)
+            obj_dists = (
+                jax.nn.one_hot(obj_labels, self.num_obj_classes,
+                               dtype=jnp.float32) * 2000.0 - 1000.0
+            )
+            att_dists = gt_multihot
+        else:
+            dec_inp = jnp.concatenate([sorted_pre, enc], -1)
+            sorted_labels = (
+                jnp.take_along_axis(obj_labels, perm, axis=1) if train else None
+            )
+            logits_sorted, refined_sorted, att_sorted = HighwayDecoderLSTM(
+                num_obj_classes=self.num_obj_classes,
+                num_att_classes=self.num_att_classes,
+                embed_dim=self.embed_dim, hidden=self.hidden_dim,
+                dtype=cdt, name="decoder_rnn",
+            )(dec_inp, sorted_mask, sorted_labels, train)
+            obj_dists = unsort(logits_sorted)
+            obj_preds = jnp.take_along_axis(refined_sorted, inv, axis=1)
+            att_dists = unsort(att_sorted)
+
+        obj_ctx = unsort(enc)
+        edge_pre = jnp.concatenate(
+            [
+                obj_embed2(obj_preds),
+                norm_sigmoid(att_dists).astype(cdt)
+                @ att_embed2.embedding.astype(cdt),
+                roi_features.astype(cdt),
+                obj_ctx,
+            ],
+            -1,
+        )
+        edge_enc = MaskedBiLSTM(self.hidden_dim, self.edge_layers, dtype=cdt,
+                                name="edge_ctx_rnn")(sort(edge_pre), sorted_mask)
+        edge_enc = nn.Dense(self.hidden_dim, dtype=cdt, name="lin_edge_h")(edge_enc)
+        edge_ctx = unsort(edge_enc)
+        return obj_dists, obj_preds, att_dists, edge_ctx
+
+
 class MotifPredictor(nn.Module):
     """Neural-motifs predictor (:995-1152)."""
 
@@ -494,6 +637,10 @@ class MotifPredictor(nn.Module):
     # (MotifPredictor_MEET, roi_relation_predictors.py:1154-1441)
     meet_group_sizes: Optional[Tuple[int, ...]] = None
     meet_experts: int = 1
+    # ATTRIBUTE_ON (roi_relation_predictors.py:999, 1083-1090, 1147-1150):
+    # swap in AttributeLSTMContext and also return attribute logits
+    attribute_on: bool = False
+    num_att_classes: int = 201
     embed_init: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
 
@@ -511,14 +658,27 @@ class MotifPredictor(nn.Module):
         image_sizes: jnp.ndarray,
         boxes_per_cls: Optional[jnp.ndarray] = None,
         train: bool = False,
+        attributes: Optional[jnp.ndarray] = None,        # (B, N, 10) GT ids
+        attribute_logits: Optional[jnp.ndarray] = None,  # (B, N, A) head out
     ) -> LegacyOutput:
         cdt = self.dtype
-        obj_dists, obj_preds, edge_ctx = LSTMContext(
-            num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
-            hidden_dim=self.hidden_dim, mode=self.mode,
-            embed_init=self.embed_init, dtype=cdt, name="context_layer",
-        )(roi_features, boxes, box_mask, obj_labels, predict_logits,
-          image_sizes, boxes_per_cls, train)
+        att_dists = None
+        if self.attribute_on:
+            obj_dists, obj_preds, att_dists, edge_ctx = AttributeLSTMContext(
+                num_obj_classes=self.num_obj_classes,
+                num_att_classes=self.num_att_classes,
+                embed_dim=self.embed_dim, hidden_dim=self.hidden_dim,
+                mode=self.mode, embed_init=self.embed_init, dtype=cdt,
+                name="context_layer",
+            )(roi_features, boxes, box_mask, obj_labels, attributes,
+              predict_logits, attribute_logits, image_sizes, train)
+        else:
+            obj_dists, obj_preds, edge_ctx = LSTMContext(
+                num_obj_classes=self.num_obj_classes, embed_dim=self.embed_dim,
+                hidden_dim=self.hidden_dim, mode=self.mode,
+                embed_init=self.embed_init, dtype=cdt, name="context_layer",
+            )(roi_features, boxes, box_mask, obj_labels, predict_logits,
+              image_sizes, boxes_per_cls, train)
 
         edge_rep = nn.Dense(
             self.hidden_dim * 2, dtype=cdt,
@@ -552,7 +712,7 @@ class MotifPredictor(nn.Module):
                 self.meet_group_sizes, self.meet_experts, name="meet_heads",
             )(prod_rep)
             return LegacyOutput(obj_dists, None, obj_preds,
-                                group_logits=group_logits)
+                                group_logits=group_logits, att_dists=att_dists)
 
         rel_dists = nn.Dense(
             self.num_rel_classes, dtype=jnp.float32, name="rel_compress"
@@ -570,6 +730,7 @@ class MotifPredictor(nn.Module):
                 num_obj_classes=self.num_obj_classes,
                 num_rel_classes=self.num_rel_classes, name="freq_bias",
             )(pair_pred)
-        return LegacyOutput(obj_dists, rel_dists, obj_preds)
+        return LegacyOutput(obj_dists, rel_dists, obj_preds,
+                            att_dists=att_dists)
 
 

@@ -463,3 +463,44 @@ def motifs_context_param_updates(
     put(("lin_edge_h", "kernel"), _fc(sd["lin_edge_h.weight"]))
     put(("lin_edge_h", "bias"), sd["lin_edge_h.bias"])
     return out, stats
+
+
+def attribute_context_param_updates(
+    sd: Dict[str, np.ndarray],
+    src_prefix: str = "",
+    obj_layers: int = 1,
+    edge_layers: int = 1,
+):
+    """Translate a reference AttributeLSTMContext state dict
+    (model_motifs_with_attribute.py:180-372) into our AttributeLSTMContext
+    param paths.  Unlike the plain context there is no pos-embed BatchNorm
+    (the reference uses Dropout), so no batch_stats updates are produced.
+    """
+    p = (src_prefix + ".") if src_prefix else ""
+    sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)} if p else dict(sd)
+
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path, arr):
+        out[tuple(path)] = np.asarray(arr, np.float32)
+
+    for name in ("obj_embed1", "obj_embed2", "att_embed1", "att_embed2"):
+        put((name, "embedding"), sd[f"{name}.weight"])
+    # pos_embed: Linear(9,32) @0, ReLU, Dropout, Linear(32,128) @3 (:219-223)
+    put(("pos_fc1", "kernel"), _fc(sd["pos_embed.0.weight"]))
+    put(("pos_fc1", "bias"), sd["pos_embed.0.bias"])
+    put(("pos_fc2", "kernel"), _fc(sd["pos_embed.3.weight"]))
+    put(("pos_fc2", "bias"), sd["pos_embed.3.bias"])
+    out.update(lstm_cell_updates(sd, "obj_ctx_rnn", ("obj_ctx_rnn",), obj_layers))
+    out.update(lstm_cell_updates(sd, "edge_ctx_rnn", ("edge_ctx_rnn",), edge_layers))
+    if "decoder_rnn.obj_embed.weight" in sd:
+        out.update(decoder_rnn_updates(sd, "decoder_rnn", ("decoder_rnn",)))
+        # AttributeDecoderRNN extras (:22-40): att start embedding + out_att
+        put(("decoder_rnn", "att_embed"), sd["decoder_rnn.att_embed.weight"])
+        put(("decoder_rnn", "att_out_w"), _fc(sd["decoder_rnn.out_att.weight"]))
+        put(("decoder_rnn", "att_out_b"), sd["decoder_rnn.out_att.bias"])
+    put(("lin_obj_h", "kernel"), _fc(sd["lin_obj_h.weight"]))
+    put(("lin_obj_h", "bias"), sd["lin_obj_h.bias"])
+    put(("lin_edge_h", "kernel"), _fc(sd["lin_edge_h.weight"]))
+    put(("lin_edge_h", "bias"), sd["lin_edge_h.bias"])
+    return out
