@@ -99,3 +99,48 @@ def test_sggmodel_attribute_forward():
     out = model.apply(variables, images, boxes, method=full)
     assert out.shape == (1, 4, A)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_attribute_train_step_end_to_end():
+    """ATTRIBUTE_ON predcls train step: batch carries attributes, the step
+    reports an attribute_loss that responds to the attribute head params."""
+    import jax.numpy as jnp
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import create_train_state, make_train_step
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(
+        mode="predcls", attribute_on=True, num_attributes=A,
+        stage_blocks=(1, 1, 1, 1), groups=1, width_per_group=4,
+        fpn_channels=32, veto_dim=36, veto_layers=1, veto_heads=2,
+        dtype=jnp.float32,
+    )
+    ds = SyntheticSGGDataset(num_images=2, image_size=(64, 64),
+                             max_objects=5, min_objects=3,
+                             max_relations=4, seed=0)
+    batch, _ = next(iter(ds.batches(2, max_boxes=6)))
+    # plant attributes on the first boxes
+    attrs = np.asarray(batch.attributes).copy()
+    attrs[:, 0, 0] = 2
+    batch = batch.replace(attributes=jnp.asarray(attrs))
+
+    import jax as _jax
+    rng = _jax.random.PRNGKey(0)
+    small = _jax.tree.map(lambda x: x[:1], batch)
+    variables = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits,
+        jnp.zeros((1, 4, 2), jnp.int32), jnp.ones((1, 4), bool),
+    )
+    tx = make_optimizer(SolverConfig(), variables["params"],
+                        frozen_prefixes=())
+    state = create_train_state(model, tx, rng, batch, variables=variables)
+    step = make_train_step(model, tx, None, batch_size_per_image=8,
+                           attribute_cfg=dict(pos_weight=5.0))
+    new_state, metrics = jax.jit(step)(state, batch, jnp.asarray(1.0))
+    assert "attribute_loss" in metrics
+    assert np.isfinite(float(metrics["attribute_loss"]))
+    assert float(metrics["attribute_loss"]) > 0

@@ -593,6 +593,15 @@ def train(cfg, logger):
             loss_variant=loss_variant, ldam_margins=ldam_m,
         )
     else:
+        attribute_cfg = None
+        if cfg.model.attribute_on:
+            attribute_cfg = dict(
+                loss_weight=cfg.model.attribute_loss_weight,
+                bgfg_sample=cfg.model.attribute_bgfg_sample,
+                bgfg_ratio=cfg.model.attribute_bgfg_ratio,
+                use_binary_loss=cfg.model.attribute_use_binary_loss,
+                pos_weight=cfg.model.attribute_pos_weight,
+            )
         raw_step = make_train_step(
             model, tx, cw,
             batch_size_per_image=cfg.relation.batch_size_per_image,
@@ -600,6 +609,7 @@ def train(cfg, logger):
             mode=cfg.relation.mode, mesh=mesh, meet=meet,
             loss_variant=loss_variant, ldam_margins=ldam_m,
             collect_diagnostics=cfg.global_buffer_on,
+            attribute_cfg=attribute_cfg,
         )
     step_fn = shard_train_step(raw_step, mesh)
 

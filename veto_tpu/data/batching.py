@@ -44,6 +44,7 @@ def make_sgg_batch(
     labels = np.zeros((b, max_boxes), np.int32)
     rel_matrix = np.zeros((b, max_boxes, max_boxes), np.int32)
     sizes = np.zeros((b, 2), np.int32)
+    attributes = np.zeros((b, max_boxes, 10), np.int32)
 
     for i, rec in enumerate(records):
         img = rec["image"]
@@ -57,6 +58,10 @@ def make_sgg_batch(
         labels[i, :n] = rec["labels"][:n]
         rel_matrix[i, :n, :n] = rec["rel_matrix"][:n, :n]
         sizes[i] = rec["size"]
+        attrs = rec.get("attributes")
+        if attrs is not None and len(attrs):
+            k = min(np.asarray(attrs).shape[1], 10)
+            attributes[i, :n, :k] = np.asarray(attrs)[:n, :k]
 
     # predcls: detector logits are the GT one-hot (relation_head.py:104-111
     # overloads predict_logits with to_onehot(labels))
@@ -66,5 +71,5 @@ def make_sgg_batch(
     return SGGBatch(
         images=images, depth=depth, boxes=boxes, box_mask=box_mask,
         labels=labels, obj_logits=obj_logits, rel_matrix=rel_matrix,
-        sizes=sizes,
+        sizes=sizes, attributes=attributes,
     )

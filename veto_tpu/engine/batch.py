@@ -22,6 +22,9 @@ class SGGBatch:
     obj_logits: jnp.ndarray  # (B, N, num_obj) detector logits (predcls: one-hot)
     rel_matrix: jnp.ndarray  # (B, N, N) int32 GT predicate matrix (0 = none)
     sizes: jnp.ndarray       # (B, 2) int32 (width, height) before padding
+    # (B, N, 10) int32 padded per-box attribute-id lists (0 = none);
+    # zeros when the dataset carries no attributes (MODEL.ATTRIBUTE_ON)
+    attributes: jnp.ndarray = None
 
     @property
     def batch_size(self) -> int:

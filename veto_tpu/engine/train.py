@@ -187,6 +187,7 @@ def make_train_step(
     loss_variant: str = "weighted_ce",
     ldam_margins: Optional[np.ndarray] = None,
     collect_diagnostics: bool = False,
+    attribute_cfg: Optional[dict] = None,  # attribute_loss kwargs (ATTRIBUTE_ON)
 ) -> Callable[[TrainState, SGGBatch, jnp.ndarray], tuple]:
     """Build the jitted train step: (state, batch, lr_scale) → (state, metrics).
 
@@ -233,6 +234,27 @@ def make_train_step(
                 losses["binary_loss"] = _binary_loss(
                     bp, samples.binary_rel, batch.box_mask
                 )
+            al = getattr(out, "attribute_logits", None)
+            if al is not None:
+                # MODEL.ATTRIBUTE_ON box-level multi-label loss
+                # (attribute_head/loss.py; loss_weight folded inside).
+                # Deviation: the reference trains this head in its detector
+                # stage and freezes it during relation training
+                # (attribute_head.py:33-44); here it trains jointly in the
+                # relation step — same loss, no separate stage.  Import a
+                # pretrained head (torch_import) to reproduce the frozen
+                # behavior exactly.
+                from veto_tpu.models.detector.attribute_head import (
+                    attribute_loss,
+                )
+                b_, n_ = batch.box_mask.shape
+                losses["attribute_loss"] = attribute_loss(
+                    jax.random.fold_in(step_rng, 7),
+                    al.reshape(b_ * n_, -1),
+                    batch.attributes.reshape(b_ * n_, -1),
+                    batch.box_mask.reshape(-1),
+                    **(attribute_cfg or {}),
+                ).loss
             rl = getattr(out, "relness_logits", None)
             diag = {}
             if rl is not None:
@@ -589,6 +611,7 @@ def batch_sharding(mesh: Mesh) -> SGGBatch:
         obj_logits=s("data"),
         rel_matrix=s("data"),
         sizes=s("data"),
+        attributes=s("data"),
     )
 
 

@@ -56,6 +56,8 @@ class SGGForward(NamedTuple):
     binary_preds: Optional[jnp.ndarray] = None  # VCTree aux relatedness
     # RelatednessTestPredictor confidence logits for RelAwareLoss
     relness_logits: Optional[jnp.ndarray] = None
+    # ATTRIBUTE_ON: (B, N, num_attributes) box-level attribute logits
+    attribute_logits: Optional[jnp.ndarray] = None
 
 
 class DetectOutput(NamedTuple):
@@ -526,6 +528,12 @@ class SGGModel(nn.Module):
             pred_labels = obj_labels
             rel_labels_in = obj_labels
 
+        # ATTRIBUTE_ON: box-level attribute logits off the shared box
+        # features (attribute_head.py ROIAttributeHead semantics)
+        att_logits = (
+            self.attribute_forward(feats, boxes) if self.attribute_on else None
+        )
+
         if self.predictor in self.LEGACY_PREDICTORS:
             # legacy context models embed GT labels at train and refine
             # their own predictions; feed GT labels + box-head logits
@@ -543,6 +551,7 @@ class SGGModel(nn.Module):
                 predict_logits=predict_logits,
                 binary_preds=getattr(out, "binary_preds", None),
                 relness_logits=getattr(out, "relness_logits", None),
+                attribute_logits=att_logits,
             )
         out = self.relate(
             feats, depth, boxes, box_mask, rel_labels_in, predict_logits,
@@ -558,6 +567,7 @@ class SGGModel(nn.Module):
             obj_dists=out.obj_dists,
             pred_labels=pred_labels,
             predict_logits=predict_logits,
+            attribute_logits=att_logits,
         )
 
     # ------------------------------------------------------------------

@@ -136,12 +136,15 @@ def detector_param_updates(sd: Dict[str, np.ndarray]) -> Dict[Tuple[str, ...], n
             put(("rpn", dst, "kernel"), _conv(sd[wk]))
             put(("rpn", dst, "bias"), sd[f"rpn.head.{src}.bias"])
 
-    # ---- box head MLP + predictor
+    # ---- box head MLP + predictor (+ the ATTRIBUTE_ON head when the
+    # checkpoint carries one, attribute_head/roi_attribute_predictors.py)
     for src, dst in (
         ("roi_heads.box.feature_extractor.fc6", ("box_extractor", "fc6")),
         ("roi_heads.box.feature_extractor.fc7", ("box_extractor", "fc7")),
         ("roi_heads.box.predictor.cls_score", ("box_predictor", "cls_score")),
         ("roi_heads.box.predictor.bbox_pred", ("box_predictor", "bbox_pred")),
+        ("roi_heads.attribute.predictor.att_score",
+         ("attribute_predictor", "att_score")),
     ):
         wk = f"{src}.weight"
         if wk in sd:
