@@ -163,3 +163,24 @@ def test_separable_backward_no_scatter(rng):
         lambda f: (_roi_align_gather(f, rois, 1.0, 7, 2) * co).sum())(feat)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_separable_pool_chunked_equals_unchunked(rng):
+    """R > _POOL_CHUNK runs the lax.map chunked path (added so the sgdet
+    box head's 1000-proposal pooling stays HBM-bounded); results must be
+    identical to the small-R path."""
+    import veto_tpu.ops.roi_align as ra
+
+    feat = rng.randn(20, 28, 5).astype(np.float32)
+    r = ra._POOL_CHUNK + 37  # non-multiple → exercises the padding
+    rois = np.stack([
+        rng.uniform(0, 14, r), rng.uniform(0, 10, r),
+        rng.uniform(14, 30, r), rng.uniform(10, 22, r),
+    ], axis=1).astype(np.float32)
+    chunked = roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, 2)
+    ref = jnp.concatenate([
+        roi_align(jnp.asarray(feat), jnp.asarray(rois[i : i + 50]), 1.0, 7, 2)
+        for i in range(0, r, 50)
+    ])
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

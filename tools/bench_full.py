@@ -41,7 +41,7 @@ def measure_sgdet(args, train=False):
 
     hw = tuple(int(v) for v in args.hw.split("x"))
     model = SGGModel(dtype=jnp.bfloat16, mode="sgdet",
-                     veto_remat=False, veto_encoder_impl="fused",
+                     veto_remat=args.remat, veto_encoder_impl="fused",
                      fold_bn=args.fold_bn)
     ds = SyntheticSGGDataset(
         num_images=args.batch * 2, image_size=hw, max_objects=79,
@@ -115,6 +115,11 @@ def main():
     # initializes after donated-state loops — measure sgdet separately
     ap.add_argument("--mode", default="train_eval",
                     choices=["train_eval", "sgdet", "sgdet_train"])
+    # sgdet TRAIN at batch 8 needs ~19.6 GB without remat (full cascade +
+    # relation backward) — remat trades one trunk recompute for fitting
+    # the 16 GB v5e chip
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=False)
     ap.add_argument("--fold-bn", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--encoder-block", type=int, default=None)

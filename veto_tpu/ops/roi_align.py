@@ -112,14 +112,15 @@ def _bilinear_rows(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     return w.mean(axis=2)  # average the s samples of each bin
 
 
-def _separable_pool(feat: jnp.ndarray, wy: jnp.ndarray,
-                    wx: jnp.ndarray) -> jnp.ndarray:
-    """out[r,i,j,:] = wy[r,i,:] @ feat @ wx[r,j,:]^T — two MXU matmuls.
+# rois per separable-pool chunk: bounds the (R, p, W, C) row-contraction
+# temp.  At the sgdet box head (1000 proposals x P2's 336x256 map, batch
+# 8) the unchunked temp is 8.97 GB and OOMs the 16 GB chip; 128-roi chunks
+# under the batch vmap keep it ~0.6 GB while every matmul stays MXU-sized.
+_POOL_CHUNK = 128
 
-    feat (H, W, C); wy (R, p, H); wx (R, p, W) → (R, p, p, C) f32.
-    bf16 feature maps contract in bf16 with f32 accumulation (matching the
-    gather formulation's f32-weight × bf16-value products to ~1 ulp).
-    """
+
+def _separable_pool_chunk(feat: jnp.ndarray, wy: jnp.ndarray,
+                          wx: jnp.ndarray) -> jnp.ndarray:
     h, w, c = feat.shape
     r, p, _ = wy.shape
     cdt = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
@@ -130,6 +131,31 @@ def _separable_pool(feat: jnp.ndarray, wy: jnp.ndarray,
     out = jnp.einsum("rjw,riwc->rijc", wx.astype(cdt), t.astype(cdt),
                      preferred_element_type=jnp.float32)
     return out
+
+
+def _separable_pool(feat: jnp.ndarray, wy: jnp.ndarray,
+                    wx: jnp.ndarray) -> jnp.ndarray:
+    """out[r,i,j,:] = wy[r,i,:] @ feat @ wx[r,j,:]^T — two MXU matmuls.
+
+    feat (H, W, C); wy (R, p, H); wx (R, p, W) → (R, p, p, C) f32.
+    bf16 feature maps contract in bf16 with f32 accumulation (matching the
+    gather formulation's f32-weight × bf16-value products to ~1 ulp).
+    Large roi counts run in _POOL_CHUNK chunks via lax.map (scan under a
+    batch vmap) so the row-contraction temp stays bounded.
+    """
+    r, p, _ = wy.shape
+    if r <= _POOL_CHUNK:
+        return _separable_pool_chunk(feat, wy, wx)
+    pad = (-r) % _POOL_CHUNK
+    k = (r + pad) // _POOL_CHUNK
+    wy_p = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+    wx_p = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(
+        lambda ws: _separable_pool_chunk(feat, ws[0], ws[1]),
+        (wy_p.reshape(k, _POOL_CHUNK, p, -1),
+         wx_p.reshape(k, _POOL_CHUNK, p, -1)),
+    )
+    return out.reshape(k * _POOL_CHUNK, p, p, -1)[:r]
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
