@@ -93,3 +93,59 @@ def test_batched_nms_classes_do_not_interact():
     idx, ok = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), idxs, 0.3, 8)
     kept = np.sort(np.asarray(idx)[np.asarray(ok)])
     np.testing.assert_array_equal(kept, [1, 3])  # best of each class survives
+
+
+def test_blockwise_matches_sequential(rng):
+    """The blockwise production nms must reproduce the select-argmax
+    reference bit-exactly: clustered boxes force deep suppression chains
+    (the fixpoint iteration's worst case), odd N exercises block padding,
+    and small max_outputs exercises the kept-buffer budget cut."""
+    from veto_tpu.ops.nms import nms_sequential
+
+    for trial, (n, block, max_out, thresh) in enumerate([
+        (64, 16, 64, 0.5),
+        (200, 64, 50, 0.3),    # budget smaller than keep count
+        (333, 128, 300, 0.7),  # n not a multiple of block
+        (500, 512, 100, 0.5),  # single block larger than n
+        (150, 1, 150, 0.4),    # degenerate block=1 (pure sequential blocks)
+    ]):
+        # clustered boxes -> long chains: A sup B sup C sup D ...
+        centers = rng.uniform(0, 60, (n // 8 + 1, 2))
+        idx = rng.randint(0, len(centers), n)
+        xy = centers[idx] + rng.uniform(-6, 6, (n, 2))
+        wh = rng.uniform(8, 30, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = rng.uniform(0, 1, (n,)).astype(np.float32)
+        valid = rng.uniform(0, 1, n) > 0.1
+
+        ref_i, ref_ok = nms_sequential(
+            jnp.asarray(boxes), jnp.asarray(scores), thresh, max_out,
+            jnp.asarray(valid))
+        got_i, got_ok = nms(
+            jnp.asarray(boxes), jnp.asarray(scores), thresh, max_out,
+            jnp.asarray(valid), block=block)
+        np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(ref_ok),
+                                      err_msg=f"trial {trial}")
+        ro, go = np.asarray(ref_ok), np.asarray(got_ok)
+        np.testing.assert_array_equal(np.asarray(got_i)[go],
+                                      np.asarray(ref_i)[ro],
+                                      err_msg=f"trial {trial}")
+
+
+def test_blockwise_tie_scores_match_sequential(rng):
+    """Equal scores must resolve identically (stable sort vs first-argmax)."""
+    from veto_tpu.ops.nms import nms_sequential
+
+    n = 96
+    xy = rng.uniform(0, 40, (n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 30, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], axis=1)
+    scores = rng.choice([0.25, 0.5, 0.75], n).astype(np.float32)
+    ref_i, ref_ok = nms_sequential(jnp.asarray(boxes), jnp.asarray(scores),
+                                   0.5, n)
+    got_i, got_ok = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, n,
+                        block=32)
+    np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(ref_ok))
+    np.testing.assert_array_equal(
+        np.asarray(got_i)[np.asarray(got_ok)],
+        np.asarray(ref_i)[np.asarray(ref_ok)])

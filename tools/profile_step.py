@@ -46,6 +46,94 @@ def timed(fn, *args, steps=5, warmup=2):
     return (time.perf_counter() - t0) / steps
 
 
+def profile_sgdet(args, hw):
+    """Stage breakdown of the sgdet cascade: backbone, RPN propose,
+    1000-proposal box head (pool + MLP + postprocess NMS), relation fwd,
+    and the full train/eval steps."""
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import (
+        create_train_state, make_sgdet_eval_step, make_sgdet_train_step,
+    )
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(dtype=jnp.bfloat16, mode="sgdet", veto_remat=False,
+                     veto_encoder_impl="fused", fold_bn=True)
+    ds = SyntheticSGGDataset(
+        num_images=args.batch, image_size=hw, max_objects=args.boxes - 1,
+        min_objects=8, max_relations=20, seed=0,
+    )
+    batch, _ = next(ds.batches(batch_size=args.batch, max_boxes=args.boxes))
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batch)
+    pi8 = jnp.zeros((1, 8, 2), jnp.int32)
+    variables = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi8, jnp.ones((1, 8), bool),
+        method="init_all",
+    )
+    tx = make_optimizer(
+        SolverConfig(), variables["params"],
+        frozen_prefixes=("backbone", "rpn", "box_extractor", "box_predictor"),
+    )
+    state = create_train_state(model, tx, rng, small, variables=variables)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    backbone = jax.jit(lambda v, x: model.apply(v, x, method="extract_features"))
+    feats = backbone(variables, batch.images)
+    detect = jax.jit(lambda v, x, sz: model.apply(v, x, sz, method="detect"))
+    npro = model.rpn_fpn_post_nms_top_n
+    rois = jnp.tile(jnp.asarray([[0.0, 0.0, 64.0, 48.0]], jnp.float32),
+                    (args.batch, npro, 1))
+    pool1000 = jax.jit(
+        lambda v, f, bx: model.apply(
+            v, f, bx, model.box_pooler_resolution,
+            method=lambda m, ff, bb, r: m._pool_boxes(ff, bb, r)))
+    boxlogits = jax.jit(
+        lambda v, f, bx: model.apply(
+            v, f, bx, method=lambda m, ff, bb: m._box_logits(ff, bb)))
+
+    out = {"mode": "sgdet", "proposals": int(npro)}
+    out["backbone_fwd_ms"] = timed(backbone, variables, batch.images,
+                                   steps=args.steps) * 1e3
+    out["detect_cascade_ms"] = timed(detect, variables, batch.images,
+                                     batch.sizes.astype(jnp.float32),
+                                     steps=args.steps) * 1e3
+    out["pool_1000_ms"] = timed(pool1000, variables, feats, rois,
+                                steps=args.steps) * 1e3
+    out["box_head_1000_ms"] = timed(boxlogits, variables, feats, rois,
+                                    steps=args.steps) * 1e3
+
+    eval_step = jax.jit(make_sgdet_eval_step(model, max_pairs=2048))
+    for _ in range(2):
+        sp = eval_step(state, batch)
+    fence(sp.obj_scores)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        sp = eval_step(state, batch)
+    fence(sp.obj_scores)
+    out["sgdet_eval_step_ms"] = (time.perf_counter() - t0) / args.steps * 1e3
+
+    train_step = jax.jit(
+        make_sgdet_train_step(model, tx, None,
+                              batch_size_per_image=args.pairs),
+        donate_argnums=(0,),
+    )
+    scale = jnp.asarray(1.0, jnp.float32)
+    for _ in range(2):
+        state, metrics = train_step(state, batch, scale)
+    fence(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = train_step(state, batch, scale)
+    fence(metrics["loss"])
+    out["sgdet_train_step_ms"] = (time.perf_counter() - t0) / args.steps * 1e3
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in out.items()}, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default="")
@@ -54,8 +142,11 @@ def main():
     ap.add_argument("--pairs", type=int, default=1024)
     ap.add_argument("--hw", default="800x1344")
     ap.add_argument("--boxes", type=int, default=80)
+    ap.add_argument("--mode", default="predcls", choices=["predcls", "sgdet"])
     args = ap.parse_args()
     hw = tuple(int(x) for x in args.hw.split("x"))
+    if args.mode == "sgdet":
+        return profile_sgdet(args, hw)
 
     from veto_tpu.config.defaults import SolverConfig
     from veto_tpu.data.synthetic import SyntheticSGGDataset
