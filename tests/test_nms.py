@@ -149,3 +149,34 @@ def test_blockwise_tie_scores_match_sequential(rng):
     np.testing.assert_array_equal(
         np.asarray(got_i)[np.asarray(got_ok)],
         np.asarray(ref_i)[np.asarray(ref_ok)])
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_blockwise_matches_sequential_rpn_scale(rng):
+    """Production RPN shape: 6000 candidates -> 1000 keeps at IoU 0.7,
+    default block size — guards the exact configuration the detect
+    cascade compiles."""
+    from veto_tpu.ops.nms import nms_sequential
+
+    n = 6000
+    centers = rng.uniform(0, 800, (n // 6 + 1, 2))
+    idx = rng.randint(0, len(centers), n)
+    xy = centers[idx] + rng.uniform(-20, 20, (n, 2))
+    wh = rng.uniform(10, 200, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, (n,)).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.05
+
+    ref_i, ref_ok = nms_sequential(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.7, 1000,
+        jnp.asarray(valid))
+    got_i, got_ok = nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.7, 1000,
+        jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(ref_ok))
+    np.testing.assert_array_equal(
+        np.asarray(got_i)[np.asarray(got_ok)],
+        np.asarray(ref_i)[np.asarray(ref_ok)])
