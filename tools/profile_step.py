@@ -130,6 +130,14 @@ def profile_sgdet(args, hw):
         state, metrics = train_step(state, batch, scale)
     fence(metrics["loss"])
     out["sgdet_train_step_ms"] = (time.perf_counter() - t0) / args.steps * 1e3
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                state, metrics = train_step(state, batch, scale)
+            fence(metrics["loss"])
+        out["trace_dir"] = args.trace
+
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in out.items()}, indent=1))
 

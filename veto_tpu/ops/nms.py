@@ -11,9 +11,9 @@ score-sorted sequential greedy suppression):
   O(max_outputs) sequential trips; kept as the semantics reference.
 
 * ``nms`` (blockwise, the production path) — sort once by score, then walk
-  the sorted list in blocks: each block is (a) suppressed against the buffer
-  of already-kept boxes with one (block x max_outputs) IoU contraction, then
-  (b) resolved internally by iterating the greedy recurrence
+  the sorted list in blocks: each block is (a) suppressed against the
+  keep-masked prefix with one (block x N) IoU pass, then (b) resolved
+  internally by iterating the greedy recurrence
   ``keep_i = active_i & !any_{j<i}(iou_ji > t & keep_j)`` to its fixpoint.
   The recurrence has a unique solution (induction over i), so the fixpoint
   IS the greedy keep set; the synchronous iteration stabilizes position i
@@ -23,9 +23,10 @@ score-sorted sequential greedy suppression):
   trips (1000 for the RPN) to ``N/block`` block steps — measured ~5x on the
   sgdet cascade's RPN+postprocess stage.
 
-Memory: the blockwise path materializes (block, block) and
-(block, max_outputs) IoU tiles, never the full N x N matrix — safe for the
-RPN's 6000-box pre-NMS budget.
+Memory: the blockwise path materializes one (block, N-padded) IoU plane per
+block step (e.g. 512 x 6144 = 12.6 MB f32 at the RPN's 6000-box pre-NMS
+budget) plus the (block, block) within-block tile — never the full N x N
+matrix.
 """
 
 from __future__ import annotations
