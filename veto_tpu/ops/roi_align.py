@@ -129,11 +129,17 @@ def _separable_pool_chunk(feat: jnp.ndarray, wy: jnp.ndarray,
     h, w, c = feat.shape
     r, p, _ = wy.shape
     cdt = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
+    # store the stage-1 temp in the contraction dtype: stage 2 casts it to
+    # cdt anyway, so rounding is identical, and for bf16 feature maps this
+    # halves the largest HBM round-trip of the whole pooler (the (R,p,H,C)
+    # temp is ~367 MB/256-roi chunk at P2 in f32).  Accumulation stays f32
+    # inside the matmul (preferred_element_type) — only the output buffer
+    # narrows.
     t = jax.lax.dot_general(
         wx.reshape(r * p, w).astype(cdt),
         jnp.swapaxes(feat, 0, 1).reshape(w, h * c).astype(cdt),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(r, p, h, c)
+    ).astype(cdt).reshape(r, p, h, c)
     out = jnp.swapaxes(
         jnp.einsum("rih,rjhc->rjic", wy.astype(cdt), t.astype(cdt),
                    preferred_element_type=jnp.float32), 1, 2)
