@@ -272,6 +272,7 @@ def build_model(cfg):
         veto_visual_proj_dim=cfg.veto.visual_proj_dim,
         veto_remat=cfg.veto.remat,
         veto_encoder_impl=resolve_encoder_impl(cfg.veto.encoder_impl),
+        pooler_impl=cfg.model.pooler_impl,
         causal_effect_type=cfg.relation.causal_effect_type,
         causal_fusion_type=cfg.relation.causal_fusion_type,
         bgnn_rel_aware=cfg.relation.rel_aware,

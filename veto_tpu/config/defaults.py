@@ -168,6 +168,9 @@ class DetectorConfig:
     num_obj_classes: int = 151  # VG: 150 + background
     box_pooler_resolution: int = 7
     box_mlp_head_dim: int = 4096
+    # multi-level pooler implementation: auto (windowed Pallas kernel on
+    # TPU, separable matmuls elsewhere) | windowed | separable
+    pooler_impl: str = "auto"
 
 
 @dataclass

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from veto_tpu.ops.box_ops import box_union, resize_boxes
-from veto_tpu.ops.roi_align import multilevel_roi_align
+from veto_tpu.ops.roi_align_windowed import multilevel_roi_align_batched
 
 
 def union_boxes(
@@ -62,6 +62,7 @@ class UnionFeatureExtractor(nn.Module):
     pooler_resolution: int = 7
     pooler_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125)
     pooler_sampling_ratio: int = 2
+    pooler_impl: str = "auto"
     mlp_dim: int = 4096
     in_channels: int = 256
     geometry: bool = True
@@ -79,12 +80,11 @@ class UnionFeatureExtractor(nn.Module):
         rect_size = self.pooler_resolution * 4 - 1
 
         ub, head, tail = jax.vmap(union_boxes)(boxes, pair_idx)
-        pooled = jax.vmap(
-            lambda fs, rois: multilevel_roi_align(
-                fs, rois, self.pooler_scales, self.pooler_resolution,
-                self.pooler_sampling_ratio,
-            )
-        )(tuple(feats)[: len(self.pooler_scales)], ub)  # (B, P, 7, 7, C)
+        pooled = multilevel_roi_align_batched(
+            tuple(feats)[: len(self.pooler_scales)], ub, self.pooler_scales,
+            self.pooler_resolution, self.pooler_sampling_ratio,
+            impl=self.pooler_impl,
+        )  # (B, P, 7, 7, C)
 
         if self.geometry:
             rects = jax.vmap(

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from veto_tpu.ops.nms import obj_prediction_nms
-from veto_tpu.ops.roi_align import multilevel_roi_align, roi_align
+from veto_tpu.ops.roi_align import roi_align
+from veto_tpu.ops.roi_align_windowed import multilevel_roi_align_batched
 
 from .backbone.depth_resnet import DepthResNet18
 from .backbone.resnet import ResNetFPNBackbone
@@ -125,6 +126,10 @@ class SGGModel(nn.Module):
     veto_remat: bool = True
     # encoder implementation: 'xla' (portable) | 'fused' (Pallas, TPU)
     veto_encoder_impl: str = "xla"
+    # multi-level pooler implementation: 'separable' (full-map matmuls,
+    # portable) | 'windowed' (per-roi window DMA Pallas kernel, TPU) |
+    # 'auto' (windowed on TPU backends)
+    pooler_impl: str = "auto"
     embed_dim: int = 200
     # fold the frozen detector's BatchNorm affines into the conv weights
     # (backbone/resnet.py fold_frozen_bn_params); removes every BN
@@ -250,6 +255,7 @@ class SGGModel(nn.Module):
                 pooler_resolution=self.box_pooler_resolution,
                 pooler_scales=self.pooler_scales,
                 pooler_sampling_ratio=self.pooler_sampling_ratio,
+                pooler_impl=self.pooler_impl,
                 mlp_dim=self.context_pooling_dim,
                 in_channels=self.fpn_channels,
                 dtype=self.dtype,
@@ -311,12 +317,10 @@ class SGGModel(nn.Module):
                     self.pooler_sampling_ratio,
                 )
             )(feats[0], boxes)
-        return jax.vmap(
-            lambda fs, rois: multilevel_roi_align(
-                fs, rois, self.pooler_scales, resolution,
-                self.pooler_sampling_ratio,
-            )
-        )(feats[: len(self.pooler_scales)], boxes)
+        return multilevel_roi_align_batched(
+            feats[: len(self.pooler_scales)], boxes, self.pooler_scales,
+            resolution, self.pooler_sampling_ratio, impl=self.pooler_impl,
+        )
 
     def _box_logits(self, feats, boxes):
         """predict_logits + deltas for rois via the frozen box head."""
