@@ -63,6 +63,10 @@ class UnionFeatureExtractor(nn.Module):
     pooler_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125)
     pooler_sampling_ratio: int = 2
     pooler_impl: str = "auto"
+    # union boxes (pair bounding boxes) have a fatter extreme-aspect tail
+    # than detections, so the windowed pooler gets a larger exact-fallback
+    # budget here than the box-head default
+    pooler_fallback_budget: int = 256
     mlp_dim: int = 4096
     in_channels: int = 256
     geometry: bool = True
@@ -84,6 +88,7 @@ class UnionFeatureExtractor(nn.Module):
             tuple(feats)[: len(self.pooler_scales)], ub, self.pooler_scales,
             self.pooler_resolution, self.pooler_sampling_ratio,
             impl=self.pooler_impl,
+            fallback_budget=self.pooler_fallback_budget,
         )  # (B, P, 7, 7, C)
 
         if self.geometry:
