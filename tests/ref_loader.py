@@ -281,6 +281,45 @@ def load_ref_attribute_loss():
     return _exec_ref_file("pysgg/modeling/roi_heads/attribute_head/loss.py", name)
 
 
+def load_ref_solver():
+    """The REAL solver/build.py + lr_scheduler.py (torch-only).
+
+    Returns (build, lr_scheduler) modules: ``build.make_optimizer`` (per-group
+    Adam, solver/build.py:7-34) and ``lr_scheduler.WarmupReduceLROnPlateau`` /
+    ``WarmupMultiStepLR``.
+    """
+    bname = "pysgg.solver.build"
+    sname = "pysgg.solver.lr_scheduler"
+    if bname in sys.modules and sname in sys.modules:
+        return sys.modules[bname], sys.modules[sname]
+    _ensure_pkg("pysgg", os.path.join(REF_ROOT, "pysgg"))
+    _ensure_pkg("pysgg.solver", os.path.join(REF_ROOT, "pysgg", "solver"))
+    lrs = _exec_ref_file("pysgg/solver/lr_scheduler.py", sname)
+    build = _exec_ref_file("pysgg/solver/build.py", bname)
+    return build, lrs
+
+
+def ref_clip_grad_norm_(named_parameters, max_norm):
+    """The reference's gradient clip applied in-place (the exact formula of
+    pysgg/utils/checkpoint.py:180-206, clip=True — that file's module-level
+    imports pull in the whole checkpoint stack, so the 6-line numeric core is
+    restated here): total L2 norm over all grads, scale by
+    ``max_norm / (total_norm + 1e-6)`` only when that coefficient < 1."""
+    import torch
+
+    total = 0.0
+    for _, p in named_parameters:
+        if p.grad is not None:
+            total += float(p.grad.norm(2)) ** 2
+    total = total ** 0.5
+    coef = max_norm / (total + 1e-6)
+    if coef < 1:
+        for _, p in named_parameters:
+            if p.grad is not None:
+                p.grad.mul_(coef)
+    return total
+
+
 def load_ref_model_motifs_with_attribute():
     """model_motifs_with_attribute.py over the real utils_motifs /
     utils_relation (registry import stubbed)."""

@@ -619,7 +619,10 @@ def train(cfg, logger):
     start_iter = int(state.step)
     ctrl = LRController(cfg.solver)
     if extra:
-        ctrl.__dict__.update({k: v for k, v in extra.items() if k != "cfg"})
+        ctrl.__dict__.update({
+            k: v for k, v in extra.items()
+            if k not in ("cfg", "decay_scale")  # decay_scale is derived now
+        })
     if start_iter:
         logger.info(f"resumed from iteration {start_iter}")
 
@@ -661,7 +664,7 @@ def train(cfg, logger):
             )
         if (it + 1) % cfg.solver.checkpoint_period == 0:
             ckpt.save(it + 1, state, extra={
-                "decay_scale": ctrl.decay_scale, "best": ctrl.best,
+                "best": ctrl.best,
                 "bad_epochs": ctrl.bad_epochs,
                 "cooldown_counter": ctrl.cooldown_counter,
                 "num_decays": ctrl.num_decays,

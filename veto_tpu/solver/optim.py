@@ -105,43 +105,76 @@ def make_optimizer(
 class LRController:
     """Host-side warmup + plateau state machine → lr multiplier.
 
-    Mirrors WarmupReduceLROnPlateau (lr_scheduler.py:56-130): linear warmup
-    from ``warmup_factor`` to 1 over ``warmup_iters``; on each validation
-    report, decay by ``gamma`` when the metric hasn't improved by
-    ``threshold`` for ``patience`` reports, then ``cooldown`` reports of
-    grace.  ``should_stop`` after ``max_decay_step`` decays
-    (relation_train_net.py:559-563).
+    Exact state-machine port of WarmupReduceLROnPlateau
+    (lr_scheduler.py:56-171): linear warmup from ``warmup_factor`` to 1 over
+    ``warmup_iters``; on each validation report, decay by ``gamma``
+    (``plateau_factor``) once the metric hasn't beaten ``best + threshold``
+    for ``patience`` consecutive reports, then ``cooldown`` reports of grace
+    (during which the bad-epoch counter is pinned to zero).  ``should_stop``
+    after ``max_decay_step`` decays (relation_train_net.py:559-563).
+
+    Reference quirks reproduced exactly (verified step-for-step against the
+    live torch scheduler in tests/test_solver_parity.py):
+
+    * the torch constructor calls ``self.step(last_epoch)`` with
+      ``last_epoch == 0``, so the plateau logic runs once with *metric 0.0*
+      before training: ``best`` starts at 0.0 (not −1e12) and one cooldown
+      tick is consumed (lr_scheduler.py:106, 146-171);
+    * the cooldown counter decrements on EVERY validation report — improving
+      or not — and zeroes the bad-epoch counter while active;
+    * decay triggers at ``num_bad_epochs >= patience`` (the reference
+      increments first, then compares with ``>=``).
     """
 
     def __init__(self, cfg: SolverConfig):
         self.cfg = cfg
-        self.decay_scale = 1.0
-        self.best: Optional[float] = None
+        self.best: float = -1e12
         self.bad_epochs = 0
-        self.cooldown_counter = 0
+        self.cooldown_counter = cfg.plateau_cooldown
         self.num_decays = 0
+        # constructor quirk: the reference scheduler runs one plateau step
+        # with metrics = last_epoch = 0 at construction (lr_scheduler.py:106)
+        self.report_validation(0.0)
+
+    @property
+    def decay_scale(self) -> float:
+        return self.cfg.plateau_factor ** self.num_decays
 
     def scale(self, step: int) -> float:
-        if step < self.cfg.warmup_iters and self.cfg.warmup_method == "linear":
-            alpha = step / max(self.cfg.warmup_iters, 1)
+        """LR multiplier for 0-based train step ``step``.
+
+        Mapping to the reference: its loop calls ``scheduler.step(...,
+        epoch=iteration)`` AFTER optimizer.step() (relation_train_net.py:560),
+        so 1-based iteration ``i`` trains at ``get_lr(last_epoch=i-1)`` —
+        except iteration 1, which uses the constructor-set LR at
+        ``last_epoch=1``.  With our 0-based ``step = i - 1`` that is
+        ``warmup(max(step, 1))``.
+        """
+        e = max(step, 1)
+        if e < self.cfg.warmup_iters and self.cfg.warmup_method == "linear":
+            alpha = e / max(self.cfg.warmup_iters, 1)
             warm = self.cfg.warmup_factor * (1 - alpha) + alpha
+        elif e < self.cfg.warmup_iters and self.cfg.warmup_method == "constant":
+            warm = self.cfg.warmup_factor
         else:
             warm = 1.0
         return warm * self.decay_scale
 
     def report_validation(self, metric: float) -> None:
-        if self.best is None or metric > self.best + self.cfg.plateau_threshold:
-            self.best = metric
+        # lr_scheduler.py:146-171 — order matters: improvement check, then
+        # cooldown (which also zeroes the bad counter), then the decay test
+        if float(metric) > self.best + self.cfg.plateau_threshold:
+            self.best = float(metric)
             self.bad_epochs = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
         else:
             self.bad_epochs += 1
-            if self.bad_epochs > self.cfg.plateau_patience:
-                self.decay_scale *= self.cfg.plateau_factor
-                self.num_decays += 1
-                self.bad_epochs = 0
-                self.cooldown_counter = self.cfg.plateau_cooldown
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad_epochs = 0
+        if self.bad_epochs >= self.cfg.plateau_patience:
+            self.num_decays += 1
+            self.cooldown_counter = self.cfg.plateau_cooldown
+            self.bad_epochs = 0
 
     @property
     def should_stop(self) -> bool:
