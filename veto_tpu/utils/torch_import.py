@@ -223,15 +223,215 @@ def fold_detector_updates(updates):
 
 def import_detector_weights(params, ckpt_path: str, logger=None,
                             fold_bn: bool = False):
-    """One-call import: torch checkpoint file → updated flax params.
+    """One-call import: checkpoint file → updated flax params.
+
+    Dispatches on the path: ``catalog://...`` resolves through the
+    Detectron model catalog to a locally cached file; ``*.pkl`` is read as
+    a caffe2/Detectron pickle (C2 blob naming); anything else is a torch
+    checkpoint (maskrcnn-benchmark naming).  Mirrors
+    DetectronCheckpointer._load_file (reference utils/checkpoint.py:138-160).
 
     ``fold_bn=True`` targets a model built with ``fold_bn=True`` (BN
     affines folded into conv kernels/biases)."""
-    sd = load_torch_state_dict(ckpt_path)
+    if ckpt_path.startswith("catalog://"):
+        ckpt_path = resolve_catalog(ckpt_path)
+    if ckpt_path.endswith(".pkl"):
+        sd = load_c2_state_dict(ckpt_path)
+    else:
+        sd = load_torch_state_dict(ckpt_path)
     updates = detector_param_updates(sd)
     if fold_bn:
         updates = fold_detector_updates(updates)
     return apply_updates(params, updates, logger)
+
+
+# ---------------------------------------------------------------------------
+# caffe2 / Detectron weight ingestion (reference utils/c2_model_loading.py
+# :1-206 + config/paths_catalog.py:251-282).  Pure pickle + numpy: the
+# Detectron .pkl files store raw float arrays under 'blobs', no torch needed.
+# ---------------------------------------------------------------------------
+
+# ordered replacement chain of _rename_basic_resnet_weights
+# (c2_model_loading.py:12-63).  Quirk preserved: the blanket '.b'→'.bias'
+# rule mangles '.branch' into '.biasranch', which a later pair repairs —
+# the chain below reproduces the reference's net effect pair-for-pair.
+_C2_BASIC_RENAMES = (
+    (".w", ".weight"),
+    (".bn", "_bn"),
+    (".b", ".bias"),
+    ("_bn.s", "_bn.scale"),
+    (".biasranch", ".branch"),
+    ("bbox.pred", "bbox_pred"),
+    ("cls.score", "cls_score"),
+    ("res.conv1_", "conv1_"),
+    (".biasbox", ".bbox"),
+    ("conv.rpn", "rpn.conv"),
+    ("rpn.bbox.pred", "rpn.bbox_pred"),
+    ("rpn.cls.logits", "rpn.cls_logits"),
+    ("_bn.scale", "_bn.weight"),   # AffineChannel scale → BN weight
+    ("conv1_bn.", "bn1."),
+    ("res2.", "layer1."),
+    ("res3.", "layer2."),
+    ("res4.", "layer3."),
+    ("res5.", "layer4."),
+    (".branch2a.", ".conv1."),
+    (".branch2a_bn.", ".bn1."),
+    (".branch2b.", ".conv2."),
+    (".branch2b_bn.", ".bn2."),
+    (".branch2c.", ".conv3."),
+    (".branch2c_bn.", ".bn3."),
+    (".branch1.", ".downsample.0."),
+    (".branch1_bn.", ".downsample.1."),
+    # GroupNorm variants (R-50-GN et al.)
+    ("conv1.gn.s", "bn1.weight"),
+    ("conv1.gn.bias", "bn1.bias"),
+    ("conv2.gn.s", "bn2.weight"),
+    ("conv2.gn.bias", "bn2.bias"),
+    ("conv3.gn.s", "bn3.weight"),
+    ("conv3.gn.bias", "bn3.bias"),
+    ("downsample.0.gn.s", "downsample.1.weight"),
+    ("downsample.0.gn.bias", "downsample.1.bias"),
+)
+
+
+def c2_rename_key(key: str) -> str:
+    """caffe2 blob name → fully-prefixed maskrcnn-benchmark name.
+
+    Composes _rename_basic_resnet_weights + _rename_fpn_weights +
+    _rename_weights_for_resnet's head renames (c2_model_loading.py:12-116),
+    then attaches the module prefixes that the reference's fuzzy suffix
+    matcher (model_serialization.py align_and_update_state_dicts) would
+    resolve — so the result feeds :func:`detector_param_updates` directly.
+    """
+    k = "fc1000_b" if key == "pred_b" else ("fc1000_w" if key == "pred_w"
+                                            else key)
+    k = k.replace("_", ".")
+    for old, new in _C2_BASIC_RENAMES:
+        k = k.replace(old, new)
+    # FPN: fpn.inner.layer{L}.{last-block}.sum[.lateral] → fpn_inner{L};
+    # the reference enumerates per-arch stage names (R-50 "1.2" etc.,
+    # c2_model_loading.py:66-84) — a block-count-agnostic regex covers all
+    k = re.sub(r"fpn\.inner\.layer(\d)\.\d+\.sum(\.lateral)?", r"fpn_inner\1", k)
+    k = re.sub(r"fpn\.layer(\d)\.\d+\.sum", r"fpn_layer\1", k)
+    k = k.replace("rpn.conv.fpn2", "rpn.conv")
+    k = k.replace("rpn.bbox_pred.fpn2", "rpn.bbox_pred")
+    k = k.replace("rpn.cls_logits.fpn2", "rpn.cls_logits")
+    # mask / keypoint blobs (kept so a Detectron COCO pkl round-trips; they
+    # simply don't match any veto_tpu path and are skipped downstream)
+    k = k.replace("mask.fcn.logits", "mask_fcn_logits")
+    k = k.replace(".[mask].fcn", "mask_fcn")
+    k = k.replace("conv5.mask", "conv5_mask")
+    k = k.replace("kps.score.lowres", "kps_score_lowres")
+    k = k.replace("kps.score", "kps_score")
+    k = k.replace("conv.fcn", "conv_fcn")
+    if k.startswith("rpn."):
+        k = "rpn.head." + k[len("rpn."):]
+    # module prefixes (what the reference leaves to suffix matching)
+    if re.match(r"^layer\d\.", k):
+        return "backbone.body." + k
+    if k.startswith("conv1.") or k.startswith("bn1."):
+        return "backbone.body.stem." + k
+    if k.startswith("fpn_inner") or k.startswith("fpn_layer"):
+        return "backbone.fpn." + k
+    if k.startswith("fc6.") or k.startswith("fc7."):
+        return "roi_heads.box.feature_extractor." + k
+    if k.startswith("cls_score.") or k.startswith("bbox_pred."):
+        return "roi_heads.box.predictor." + k
+    return k
+
+
+def load_c2_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a Detectron/caffe2 ``.pkl`` into maskrcnn-benchmark-named
+    numpy arrays (reference _load_c2_pickled_weights +
+    _rename_weights_for_resnet, c2_model_loading.py:87-144).
+
+    caffe2 AffineChannel has no running statistics (the stats are already
+    folded into scale/bias), so synthetic ``running_mean=0`` /
+    ``running_var=1`` buffers are added for every BN affine — the shared
+    :func:`_fold_bn` then degenerates to scale=weight, bias=bias exactly.
+    """
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    blobs = data.get("blobs", data)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in blobs.items():
+        if "_momentum" in k or not isinstance(v, np.ndarray):
+            continue
+        out[c2_rename_key(k)] = np.asarray(v, np.float32)
+    for k in list(out):
+        m = re.match(r"^(.*(?:\bbn\d|downsample\.1|stem\.bn1))\.weight$", k)
+        if m and f"{m.group(1)}.bias" in out:
+            out[f"{m.group(1)}.running_mean"] = np.zeros_like(out[k])
+            out[f"{m.group(1)}.running_var"] = np.ones_like(out[k])
+    return out
+
+
+_C2_DETECTRON_URL = "https://dl.fbaipublicfiles.com/detectron"
+_C2_IMAGENET_MODELS = {
+    "MSRA/R-50": "ImageNetPretrained/MSRA/R-50.pkl",
+    "MSRA/R-50-GN": "ImageNetPretrained/47261647/R-50-GN.pkl",
+    "MSRA/R-101": "ImageNetPretrained/MSRA/R-101.pkl",
+    "MSRA/R-101-GN": "ImageNetPretrained/47592356/R-101-GN.pkl",
+    "FAIR/20171220/X-101-32x8d": "ImageNetPretrained/20171220/X-101-32x8d.pkl",
+}
+_C2_DETECTRON_MODELS = {
+    "35857197/e2e_faster_rcnn_R-50-C4_1x": "01_33_49.iAX0mXvW",
+    "35857345/e2e_faster_rcnn_R-50-FPN_1x": "01_36_30.cUF7QR7I",
+    "35857890/e2e_faster_rcnn_R-101-FPN_1x": "01_38_50.sNxI7sX7",
+    "36761737/e2e_faster_rcnn_X-101-32x8d-FPN_1x": "06_31_39.5MIHi1fZ",
+    "35858791/e2e_mask_rcnn_R-50-C4_1x": "01_45_57.ZgkA7hPB",
+    "35858933/e2e_mask_rcnn_R-50-FPN_1x": "01_48_14.DzEQe4wC",
+    "35861795/e2e_mask_rcnn_R-101-FPN_1x": "02_31_37.KqyEK4tT",
+    "36761843/e2e_mask_rcnn_X-101-32x8d-FPN_1x": "06_35_59.RZotkLKI",
+    "37129812/e2e_mask_rcnn_X-152-32x8d-FPN-IN5k_1.44x": "09_35_36.8pzTQKYK",
+    "37697547/e2e_keypoint_rcnn_R-50-FPN_1x": "08_42_54.kdzV35ao",
+}
+
+
+def catalog_url(name: str) -> str:
+    """``catalog://...`` → the public Detectron download URL
+    (reference paths_catalog.py ModelCatalog.get:251-282)."""
+    name = name[len("catalog://"):] if name.startswith("catalog://") else name
+    if name.startswith("ImageNetPretrained/"):
+        short = name[len("ImageNetPretrained/"):]
+        return f"{_C2_DETECTRON_URL}/{_C2_IMAGENET_MODELS[short]}"
+    if name.startswith("Caffe2Detectron/COCO/"):
+        rest = name[len("Caffe2Detectron/COCO/"):]
+        tag = "keypoints_" if "keypoint" in rest else ""
+        signature = _C2_DETECTRON_MODELS[rest]
+        model_id, model_name = rest.split("/", 1)
+        suffix = (f"output/train/{tag}coco_2014_train%3A{tag}"
+                  "coco_2014_valminusminival/generalized_rcnn/model_final.pkl")
+        return (f"{_C2_DETECTRON_URL}/{model_id}/12_2017_baselines/"
+                f"{model_name}.yaml.{signature}/{suffix}")
+    raise KeyError(f"model not present in the catalog: {name}")
+
+
+def resolve_catalog(name: str, cache_dir: str = None) -> str:
+    """``catalog://...`` → a local file path under the weight cache.
+
+    The reference downloads through ``cache_url`` into ``$TORCH_HOME``; this
+    environment has no egress, so the file must already sit in the cache
+    (``$VETO_WEIGHTS_CACHE``, default ``~/.cache/veto_tpu/models``) under
+    the URL's basename (query-stripped, as cache_url names it)."""
+    import os
+    from urllib.parse import urlparse
+
+    url = catalog_url(name)
+    cache_dir = cache_dir or os.environ.get(
+        "VETO_WEIGHTS_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "veto_tpu", "models"),
+    )
+    fname = os.path.basename(urlparse(url).path)
+    path = os.path.join(cache_dir, fname)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{name} resolves to {url}; place the file at {path} "
+            f"(no network egress available for auto-download)"
+        )
+    return path
 
 
 def _split_pair_columns(w: np.ndarray, half: int):
