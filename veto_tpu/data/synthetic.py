@@ -27,6 +27,8 @@ class SyntheticSGGDataset:
         max_relations: int = 12,
         seed: int = 0,
         with_depth: bool = True,
+        render_boxes: bool = False,
+        deterministic_rels: bool = False,
     ):
         self.num_images = num_images
         self.image_size = image_size
@@ -37,6 +39,20 @@ class SyntheticSGGDataset:
         self.max_relations = max_relations
         self.seed = seed
         self.with_depth = with_depth
+        # render_boxes=True paints each object as a class-colored rectangle
+        # (deterministic color per class) over a dim noise background, so a
+        # DETECTOR can actually learn localization + classification from the
+        # pixels — used by the sgdet overfit test.  The default (False) keeps
+        # pure-noise images: cheapest to generate, sufficient for predcls
+        # (GT boxes are inputs) and for throughput benches.
+        self.render_boxes = render_boxes
+        # deterministic_rels=True makes the predicate a fixed function of the
+        # (subject, object) class pair instead of a random draw, so a model
+        # that recognises the two classes CAN predict the relation from
+        # pixels alone — required for the sgdet overfit test, where the
+        # relation head only sees detector features (no GT identity to
+        # memorise against).
+        self.deterministic_rels = deterministic_rels
 
     def __len__(self) -> int:
         return self.num_images
@@ -60,14 +76,34 @@ class SyntheticSGGDataset:
         for _ in range(num_rel):
             s, o = rng.randint(0, n, 2)
             if s != o and rel_matrix[s, o] == 0:
-                rel_matrix[s, o] = rng.randint(1, self.num_rel_classes)
+                if self.deterministic_rels:
+                    rel_matrix[s, o] = 1 + (
+                        int(labels[s]) * 3 + int(labels[o]) * 5
+                    ) % (self.num_rel_classes - 1)
+                else:
+                    rel_matrix[s, o] = rng.randint(1, self.num_rel_classes)
 
         rel_tuples = np.column_stack(np.nonzero(rel_matrix))
         rel_tuples = np.column_stack(
             [rel_tuples, rel_matrix[rel_tuples[:, 0], rel_tuples[:, 1]]]
         ).astype(np.int64) if len(rel_tuples) else np.zeros((0, 3), np.int64)
 
-        image = rng.uniform(-1, 1, (h, w, 3)).astype(np.float32)
+        if self.render_boxes:
+            image = rng.uniform(-0.1, 0.1, (h, w, 3)).astype(np.float32)
+            # later (higher-index) objects paint over earlier ones, so every
+            # box keeps at least its top/left edge visible
+            for j in range(n):
+                crng = np.random.RandomState(10007 * int(labels[j]) + 7)
+                color = crng.uniform(-1, 1, 3).astype(np.float32)
+                xa, ya, xb, yb = boxes[j].astype(int)
+                image[ya:yb + 1, xa:xb + 1] = color
+                # bright border marks the extent (helps box regression)
+                image[ya, xa:xb + 1] = 1.0
+                image[yb, xa:xb + 1] = 1.0
+                image[ya:yb + 1, xa] = 1.0
+                image[ya:yb + 1, xb] = 1.0
+        else:
+            image = rng.uniform(-1, 1, (h, w, 3)).astype(np.float32)
         depth = (
             rng.uniform(-1, 1, (h, w, 1)).astype(np.float32)
             if self.with_depth
