@@ -188,6 +188,7 @@ def make_train_step(
     ldam_margins: Optional[np.ndarray] = None,
     collect_diagnostics: bool = False,
     attribute_cfg: Optional[dict] = None,  # attribute_loss kwargs (ATTRIBUTE_ON)
+    loss_only: bool = False,
 ) -> Callable[[TrainState, SGGBatch, jnp.ndarray], tuple]:
     """Build the jitted train step: (state, batch, lr_scale) → (state, metrics).
 
@@ -196,6 +197,11 @@ def make_train_step(
     global debug buffer (utils/global_buffer.py; reference
     rel_proposal_network/models.py:346-356) when the predictor emits
     relness logits.
+
+    ``loss_only`` skips backward + optimizer and returns the unchanged
+    state with loss metrics only — a cheap reference evaluation for
+    sharded-vs-single-device parity checks (same sampling PRNG, same loss
+    math, no grad compile; used by __graft_entry__.dryrun_multichip).
     """
     cw = None if rel_class_weights is None else jnp.asarray(rel_class_weights)
     ldam_m = None if ldam_margins is None else jnp.asarray(ldam_margins)
@@ -281,6 +287,12 @@ def make_train_step(
             total = sum(losses.values())
             return total, (losses, mutated["batch_stats"], new_loss_state,
                            diag)
+
+        if loss_only:
+            total, (losses, _, _, _) = loss_fn(state.params)
+            metrics = dict(losses)
+            metrics["loss"] = total
+            return state, metrics
 
         (total, (losses, new_stats, new_loss_state, diag)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params))
@@ -455,6 +467,7 @@ def make_sgdet_train_step(
     meet=None,
     loss_variant: str = "weighted_ce",
     ldam_margins: Optional[np.ndarray] = None,
+    loss_only: bool = False,
 ):
     """sgdet train step: frozen detection cascade → pair sampling → relation.
 
@@ -529,6 +542,12 @@ def make_sgdet_train_step(
             )
             total = sum(losses.values())
             return total, (losses, mutated["batch_stats"], new_loss_state)
+
+        if loss_only:
+            total, (losses, _, _) = loss_fn(state.params)
+            metrics = dict(losses)
+            metrics["loss"] = total
+            return state, metrics
 
         (total, (losses, new_stats, new_loss_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
