@@ -339,3 +339,93 @@ def load_ref_model_motifs_with_attribute():
 
     return load_ref_module("model_motifs_with_attribute.py",
                            "model_motifs_with_attribute", pre_stub)
+
+
+def load_ref_segmentation_mask():
+    """The REAL structures/segmentation_mask.py.
+
+    pycocotools is absent in this environment, so its three primitives are
+    stubbed with veto_tpu.utils.coco_mask (the numpy restatement of the same
+    maskApi.c algorithms) wrapped to speak torch; cv2/cv2_util are real.
+    Binary-mask paths (crop/resize/transpose/get_mask_tensor) never touch
+    the stub, so parity tests on those exercise pure reference code.
+    """
+    name = "pysgg.structures.segmentation_mask"
+    mod = sys.modules.get(name)
+    if mod is not None and hasattr(mod, "SegmentationMask"):
+        return mod
+    import numpy as _np
+    import torch as _torch
+
+    from veto_tpu.utils import coco_mask as _cm
+
+    def _decode(rle):
+        if isinstance(rle, list):
+            return _torch.from_numpy(
+                _np.stack([_cm.rle_decode(r) for r in rle], axis=2))
+        return _torch.from_numpy(_cm.rle_decode(rle))
+
+    _ensure_pkg("pycocotools")
+    _stub("pycocotools.mask", frPyObjects=_cm.frPyObjects,
+          merge=_cm.merge_rles, decode=_decode)
+    sys.modules["pycocotools"].mask = sys.modules["pycocotools.mask"]
+    _exec_ref_file("pysgg/utils/cv2_util.py", "pysgg.utils.cv2_util")
+    _exec_ref_file("pysgg/layers/misc.py", "pysgg.layers.misc")
+    return _exec_ref_file("pysgg/structures/segmentation_mask.py", name)
+
+
+def load_ref_mask_head():
+    """The REAL mask_head loss.py + inference.py (matcher, boxlist_iou and
+    layers.misc all real; registry not needed for these two files)."""
+    lname = "pysgg.modeling.roi_heads.mask_head.loss"
+    iname = "pysgg.modeling.roi_heads.mask_head.inference"
+    if lname in sys.modules and iname in sys.modules:
+        return sys.modules[lname], sys.modules[iname]
+    load_ref_bounding_box()
+    load_ref_boxlist_ops()
+    load_ref_segmentation_mask()
+    import torch as _torch
+
+    smooth = _exec_ref_file("pysgg/layers/smooth_l1_loss.py",
+                            "pysgg.layers.smooth_l1_loss")
+    _stub("pysgg.layers", smooth_l1_loss=smooth.smooth_l1_loss,
+          interpolate=sys.modules["pysgg.layers.misc"].interpolate)
+    sys.modules["pysgg.layers"].misc = sys.modules["pysgg.layers.misc"]
+    _exec_ref_file("pysgg/modeling/matcher.py", "pysgg.modeling.matcher")
+    _stub("pysgg.modeling.utils", cat=_torch_cat)
+    loss = _exec_ref_file("pysgg/modeling/roi_heads/mask_head/loss.py", lname)
+    inf = _exec_ref_file("pysgg/modeling/roi_heads/mask_head/inference.py",
+                         iname)
+    return loss, inf
+
+
+def load_ref_keypoint():
+    """The REAL structures/keypoint.py (torch-only)."""
+    name = "pysgg.structures.keypoint"
+    mod = sys.modules.get(name)
+    if mod is not None and hasattr(mod, "PersonKeypoints"):
+        return mod
+    return _exec_ref_file("pysgg/structures/keypoint.py", name)
+
+
+def load_ref_keypoint_head():
+    """The REAL keypoint_head loss.py + inference.py."""
+    lname = "pysgg.modeling.roi_heads.keypoint_head.loss"
+    iname = "pysgg.modeling.roi_heads.keypoint_head.inference"
+    if lname in sys.modules and iname in sys.modules:
+        return sys.modules[lname], sys.modules[iname]
+    load_ref_bounding_box()
+    load_ref_boxlist_ops()
+    load_ref_keypoint()
+    smooth = _exec_ref_file("pysgg/layers/smooth_l1_loss.py",
+                            "pysgg.layers.smooth_l1_loss")
+    _stub("pysgg.layers", smooth_l1_loss=smooth.smooth_l1_loss)
+    _exec_ref_file("pysgg/modeling/matcher.py", "pysgg.modeling.matcher")
+    _exec_ref_file("pysgg/modeling/balanced_positive_negative_sampler.py",
+                   "pysgg.modeling.balanced_positive_negative_sampler")
+    _stub("pysgg.modeling.utils", cat=_torch_cat)
+    loss = _exec_ref_file("pysgg/modeling/roi_heads/keypoint_head/loss.py",
+                          lname)
+    inf = _exec_ref_file(
+        "pysgg/modeling/roi_heads/keypoint_head/inference.py", iname)
+    return loss, inf

@@ -1,0 +1,240 @@
+"""Mask head + segmentation containers vs the live reference.
+
+Covers (VERDICT r3 #6):
+* BinaryMaskList / PolygonInstance container ops (crop/resize/transpose)
+  against the real segmentation_mask.py;
+* the in-graph GT-mask → (M, M) target projection vs the reference's
+  per-box CPU crop+resize loop (mask_head/loss.py:11-42);
+* MaskRCNNLossComputation loss parity over a full matcher round-trip;
+* MaskPostProcessor channel-select + Masker paste parity;
+* flax module shapes.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_loader import (
+    FakeBoxList,
+    load_ref_bounding_box,
+    load_ref_mask_head,
+    load_ref_segmentation_mask,
+    reference_available,
+)
+
+from veto_tpu.models.detector.mask_head import (
+    MaskFeatureExtractor,
+    MaskPredictor,
+    mask_loss,
+    mask_postprocess,
+    paste_masks_in_image,
+    project_masks_on_boxes,
+)
+from veto_tpu.structures.masks import (
+    FLIP_LEFT_RIGHT,
+    FLIP_TOP_BOTTOM,
+    BinaryMaskList,
+    PolygonInstance,
+    SegmentationMask,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference not mounted"
+)
+
+
+def _blobs(n, h, w, seed=0):
+    """Smooth random blobs — more realistic than iid noise for resizing."""
+    rng = np.random.RandomState(seed)
+    base = rng.rand(n, h // 4 + 1, w // 4 + 1)
+    up = np.kron(base, np.ones((1, 4, 4)))[:, :h, :w]
+    return (up > 0.55).astype(np.float32)
+
+
+def test_binary_masklist_ops_parity():
+    ref = load_ref_segmentation_mask()
+    h, w = 37, 53
+    masks = _blobs(3, h, w)
+    ref_ml = ref.BinaryMaskList(torch.from_numpy(masks), (w, h))
+    got_ml = BinaryMaskList(masks, (w, h))
+
+    for method in (FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM):
+        np.testing.assert_array_equal(
+            got_ml.transpose(method).masks,
+            ref_ml.transpose(method).masks.numpy())
+
+    box = [5.4, 3.8, 41.2, 30.9]
+    rc, gc = ref_ml.crop(box), got_ml.crop(box)
+    assert gc.size == tuple(rc.size)
+    np.testing.assert_array_equal(gc.masks, rc.masks.numpy())
+
+    rr, gr = rc.resize((28, 28)), gc.resize((28, 28))
+    np.testing.assert_allclose(gr.masks, rr.masks.numpy(), atol=1e-6)
+
+    # out-of-bounds box clamping
+    box2 = [-3.0, -1.0, w + 5.0, h + 2.0]
+    np.testing.assert_array_equal(
+        got_ml.crop(box2).masks, ref_ml.crop(box2).masks.numpy())
+
+
+def test_polygon_ops_parity():
+    ref = load_ref_segmentation_mask()
+    w, h = 64, 48
+    polys = [[3.2, 4.1, 30.5, 6.7, 28.9, 40.2, 5.5, 35.0],
+             [10.0, 10.0, 20.0, 10.0, 15.0, 20.0]]
+    ref_pi = ref.PolygonInstance([torch.tensor(p) for p in polys], (w, h))
+    got_pi = PolygonInstance(polys, (w, h))
+
+    for method in (FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM):
+        for rp, gp in zip(ref_pi.transpose(method).polygons,
+                          got_pi.transpose(method).polygons):
+            np.testing.assert_allclose(gp, rp.numpy(), rtol=1e-6)
+
+    box = [2.5, 3.5, 50.0, 45.0]
+    ref_c, got_c = ref_pi.crop(box), got_pi.crop(box)
+    assert got_c.size == tuple(ref_c.size)
+    for rp, gp in zip(ref_c.polygons, got_c.polygons):
+        np.testing.assert_allclose(gp, rp.numpy(), rtol=1e-6)
+
+    ref_r, got_r = ref_pi.resize((32, 96)), got_pi.resize((32, 96))
+    for rp, gp in zip(ref_r.polygons, got_r.polygons):
+        np.testing.assert_allclose(gp, rp.numpy(), rtol=1e-6)
+
+
+def test_segmentation_mask_wrapper_binary_roundtrip():
+    ref = load_ref_segmentation_mask()
+    h, w = 24, 31
+    masks = _blobs(2, h, w, seed=3)
+    ref_sm = ref.SegmentationMask(torch.from_numpy(masks), (w, h), mode="mask")
+    got_sm = SegmentationMask(masks, (w, h), mode="mask")
+    assert len(got_sm) == len(ref_sm) == 2
+    chain_ref = ref_sm[0].crop([2, 2, 20, 20]).resize((14, 14))
+    chain_got = got_sm[0].crop([2, 2, 20, 20]).resize((14, 14))
+    np.testing.assert_allclose(chain_got.get_mask_tensor(),
+                               chain_ref.get_mask_tensor().numpy(), atol=1e-6)
+
+
+def test_project_masks_on_boxes_parity():
+    ref_sm_mod = load_ref_segmentation_mask()
+    loss_mod, _ = load_ref_mask_head()
+    load_ref_bounding_box()
+    from pysgg.structures.bounding_box import BoxList
+
+    h, w, t, p, m = 46, 61, 4, 7, 14
+    gt_masks = _blobs(t, h, w, seed=5)
+    rng = np.random.RandomState(1)
+    x1 = rng.uniform(0, w - 12, p)
+    y1 = rng.uniform(0, h - 12, p)
+    boxes = np.stack([x1, y1,
+                      x1 + rng.uniform(4, 18, p),
+                      y1 + rng.uniform(4, 18, p)], 1).astype(np.float32)
+    matched = rng.randint(0, t, p)
+
+    seg = ref_sm_mod.SegmentationMask(torch.from_numpy(gt_masks), (w, h),
+                                      mode="mask")[
+        torch.from_numpy(matched)]
+    proposals = BoxList(torch.from_numpy(boxes), (w, h), mode="xyxy")
+    ref_t = loss_mod.project_masks_on_boxes(seg, proposals, m).numpy()
+
+    got = np.asarray(project_masks_on_boxes(
+        jnp.asarray(gt_masks), jnp.asarray(matched), jnp.asarray(boxes), m))
+    np.testing.assert_allclose(got, ref_t, atol=1e-5)
+
+
+def test_mask_loss_parity():
+    """Full loss: matcher → positive selection → projection → BCE over the
+    GT-class channels, reference vs fixed-shape."""
+    ref_sm_mod = load_ref_segmentation_mask()
+    loss_mod, _ = load_ref_mask_head()
+    from pysgg.modeling.matcher import Matcher
+    from pysgg.structures.bounding_box import BoxList
+
+    h, w, t, p, c, m = 40, 56, 3, 10, 6, 14
+    rng = np.random.RandomState(2)
+    gt_masks = _blobs(t, h, w, seed=7)
+    gx1 = rng.uniform(0, w - 20, t)
+    gy1 = rng.uniform(0, h - 20, t)
+    gt_boxes = np.stack([gx1, gy1, gx1 + rng.uniform(10, 20, t),
+                         gy1 + rng.uniform(10, 20, t)], 1).astype(np.float32)
+    gt_labels = rng.randint(1, c, t)
+
+    # half the proposals near GT (positives), half random (mostly bg)
+    boxes = np.concatenate([
+        gt_boxes[rng.randint(0, t, p // 2)] + rng.uniform(-2, 2, (p // 2, 4)),
+        np.stack([rng.uniform(0, w - 8, p - p // 2),
+                  rng.uniform(0, h - 8, p - p // 2),
+                  rng.uniform(0, w - 8, p - p // 2) + 6,
+                  rng.uniform(0, h - 8, p - p // 2) + 6], 1),
+    ]).astype(np.float32)
+    logits = rng.randn(p, c, m, m).astype(np.float32)
+
+    evaluator = loss_mod.MaskRCNNLossComputation(
+        Matcher(0.5, 0.5, allow_low_quality_matches=False), m)
+    target = BoxList(torch.from_numpy(gt_boxes), (w, h), mode="xyxy")
+    target.add_field("labels", torch.from_numpy(gt_labels))
+    target.add_field("masks", ref_sm_mod.SegmentationMask(
+        torch.from_numpy(gt_masks), (w, h), mode="mask"))
+    proposals = BoxList(torch.from_numpy(boxes), (w, h), mode="xyxy")
+    ref_loss = float(evaluator([proposals], torch.from_numpy(logits),
+                               [target]))
+
+    from veto_tpu.models.detector.box_head import assign_labels_to_proposals
+
+    labels, matched = assign_labels_to_proposals(
+        jnp.asarray(boxes), jnp.ones((p,), bool), jnp.asarray(gt_boxes),
+        jnp.asarray(gt_labels), jnp.ones((t,), bool), fg_iou_threshold=0.5)
+    assert int((labels > 0).sum()) > 0, "no positives — weak test"
+    got = mask_loss(
+        jnp.asarray(np.moveaxis(logits, 1, -1)), labels, matched,
+        jnp.asarray(gt_masks), jnp.asarray(boxes), jnp.ones((p,), bool))
+    np.testing.assert_allclose(float(got.loss), ref_loss, rtol=1e-5)
+
+
+def test_mask_loss_no_positives():
+    """Empty-positive image: the reference returns 0 (logits.sum()*0)."""
+    p, c, m, t, h, w = 4, 5, 7, 1, 16, 16
+    out = mask_loss(
+        jnp.zeros((p, m, m, c)), jnp.zeros((p,), jnp.int32),
+        -jnp.ones((p,), jnp.int32), jnp.zeros((t, h, w)),
+        jnp.zeros((p, 4)), jnp.ones((p,), bool))
+    assert float(out.loss) == 0.0 and int(out.num_pos) == 0
+
+
+def test_mask_postprocess_and_paste_parity():
+    _, inf_mod = load_ref_mask_head()
+    from pysgg.structures.bounding_box import BoxList
+
+    d, c, m, h, w = 5, 6, 14, 48, 64
+    rng = np.random.RandomState(4)
+    logits = rng.randn(d, c, m, m).astype(np.float32)
+    labels = rng.randint(1, c, d)
+    x1 = rng.uniform(0, w - 16, d)
+    y1 = rng.uniform(0, h - 16, d)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(6, 15, d),
+                      y1 + rng.uniform(6, 15, d)], 1).astype(np.float32)
+
+    box = BoxList(torch.from_numpy(boxes), (w, h), mode="xyxy")
+    box.add_field("labels", torch.from_numpy(labels))
+    post = inf_mod.MaskPostProcessor(inf_mod.Masker(threshold=0.5, padding=1))
+    ref_out = post(torch.from_numpy(logits), [box])[0].get_field("mask")
+
+    probs = np.asarray(mask_postprocess(
+        jnp.asarray(np.moveaxis(logits, 1, -1)), jnp.asarray(labels)))
+    pasted = paste_masks_in_image(probs, boxes, (w, h), thresh=0.5, padding=1)
+    np.testing.assert_array_equal(pasted, ref_out.numpy())
+
+
+def test_mask_modules_shapes():
+    ext = MaskFeatureExtractor(conv_layers=(32, 32))
+    pred = MaskPredictor(num_classes=9, dim_reduced=32)
+    x = jnp.zeros((3, 14, 14, 16))
+    v1 = ext.init(jax.random.PRNGKey(0), x)
+    feats = ext.apply(v1, x)
+    assert feats.shape == (3, 14, 14, 32)
+    v2 = pred.init(jax.random.PRNGKey(1), feats)
+    logits = pred.apply(v2, feats)
+    assert logits.shape == (3, 28, 28, 9)
+    assert np.isfinite(np.asarray(logits)).all()
