@@ -238,3 +238,75 @@ def test_mask_modules_shapes():
     logits = pred.apply(v2, feats)
     assert logits.shape == (3, 28, 28, 9)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_mask_keypoint_pretrain_step_end_to_end():
+    """MASK_ON + KEYPOINT_ON detector pretraining: the step runs, emits
+    finite loss_mask / loss_kp, and both respond to their head params."""
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.pretrain import make_detector_train_step
+    from veto_tpu.engine.train import TrainState
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(
+        num_obj_classes=7, num_rel_classes=6, mode="sgdet",
+        stage_blocks=(1, 1, 1, 1), groups=1, width_per_group=8,
+        fpn_channels=16, veto_dim=48, veto_layers=1, veto_heads=2,
+        embed_dim=16, mask_on=True, mask_conv_layers=(16, 16),
+        mask_pooler_resolution=7, keypoint_on=True, num_keypoints=4,
+        keypoint_conv_layers=(16,), keypoint_pooler_resolution=7,
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16,
+        rpn_fpn_post_nms_top_n=16, detections_per_img=8,
+        box_mlp_dim=32, dtype=jnp.float32,
+    )
+    ds = SyntheticSGGDataset(
+        num_images=2, image_size=(64, 64), num_obj_classes=7,
+        num_rel_classes=6, max_objects=4, min_objects=3, seed=11,
+        render_boxes=True, with_masks=True, with_keypoints=4,
+    )
+    batch, recs = next(ds.batches(batch_size=2, max_boxes=6))
+    assert batch.masks is not None and batch.keypoints is not None
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batch)
+    pi = jnp.zeros((1, 4, 2), jnp.int32)
+    variables = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 4), bool),
+        method="init_all",
+    )
+    assert "mask_extractor" in variables["params"]
+    assert "keypoint_predictor" in variables["params"]
+    tx = make_optimizer(SolverConfig(), variables["params"],
+                        frozen_prefixes=())
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), rng=rng,
+    )
+    step = jax.jit(make_detector_train_step(
+        model, tx, rpn_batch_size=32, box_batch_size=32,
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16,
+        rpn_fpn_post_nms_top_n=16, mask_on=True, keypoint_on=True,
+        head_rois_per_image=16,
+    ), donate_argnums=(0,))
+    state, metrics = step(state, batch, jnp.asarray(1.0, jnp.float32))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_mask"]))
+    assert np.isfinite(float(metrics["loss_kp"]))
+    # grads reached the heads: one step must change their params.
+    # snapshot to host first — the jitted step donates its state buffers
+    before = {
+        head: [np.asarray(x) for x in jax.tree.leaves(state.params[head])]
+        for head in ("mask_predictor", "keypoint_predictor")
+    }
+    state2, _ = step(state, batch, jnp.asarray(1.0, jnp.float32))
+    for head, prev in before.items():
+        after = jax.tree.leaves(state2.params[head])
+        assert any(
+            not np.allclose(p, np.asarray(a)) for p, a in zip(prev, after)
+        ), f"{head} params did not move"

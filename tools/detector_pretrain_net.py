@@ -134,6 +134,9 @@ def train(cfg, logger):
             rpn_fpn_post_nms_top_n=cfg.model.rpn_post_nms_top_n_train,
             rpn_nms_thresh=cfg.model.rpn_nms_thresh,
             mesh=mesh,
+            mask_on=cfg.model.mask_on,
+            keypoint_on=cfg.model.keypoint_on,
+            head_rois_per_image=cfg.model.head_rois_per_image,
         ),
         mesh,
     )
@@ -144,6 +147,10 @@ def train(cfg, logger):
     scale_fn = multistep_scale(cfg.solver)
     meters = MetricLogger()
     writer = JSONLWriter(cfg.output_dir)
+
+    from veto_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard().install()
 
     t_prev = time.time()
     for it, (batch, _) in enumerate(
@@ -161,6 +168,10 @@ def train(cfg, logger):
                 f"iter {it}/{cfg.solver.max_iter}  {meters}  "
                 f"eta {meters.eta_string(it, cfg.solver.max_iter)}"
             )
+        if guard.requested:
+            ckpt.save(it + 1, state)
+            logger.info(f"preemption signal: checkpointed at iter {it + 1}")
+            break
         if (it + 1) % cfg.solver.checkpoint_period == 0:
             ckpt.save(it + 1, state)
         if (it + 1) % cfg.solver.val_period == 0:
@@ -174,8 +185,14 @@ def train(cfg, logger):
 def main():
     parser = argparse.ArgumentParser(description="VETO-TPU detector pretraining")
     parser.add_argument("--config", default=None)
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (raise at the first NaN-producing op)")
     parser.add_argument("opts", nargs="*", default=[])
     args = parser.parse_args()
+    if args.debug_nans:
+        # re-run any op that produced a NaN eagerly and raise at the exact
+        # primitive (SURVEY §5 debug toggle; jax.config jax_debug_nans)
+        jax.config.update("jax_debug_nans", True)
 
     from veto_tpu.config import load_config
     from veto_tpu.utils.logger import setup_logger

@@ -42,6 +42,9 @@ def build_dataset(cfg, split: str):
             num_rel_classes=cfg.relation.num_classes,
             max_objects=min(cfg.data.max_boxes, 16) - 1,
             seed=cfg.solver.seed + (0 if split == "train" else 7),
+            with_masks=cfg.model.mask_on,
+            with_keypoints=cfg.model.num_keypoints if cfg.model.keypoint_on
+            else 0,
         )
     d = cfg.data.data_dir
     if "+" in cfg.data.dataset and split == "train":
@@ -239,6 +242,13 @@ def build_model(cfg):
         backbone_type=cfg.model.backbone,
         attribute_on=cfg.model.attribute_on,
         num_attributes=cfg.model.num_attributes,
+        mask_on=cfg.model.mask_on,
+        mask_conv_layers=cfg.model.mask_conv_layers,
+        mask_pooler_resolution=cfg.model.mask_pooler_resolution,
+        keypoint_on=cfg.model.keypoint_on,
+        num_keypoints=cfg.model.num_keypoints,
+        keypoint_conv_layers=cfg.model.keypoint_conv_layers,
+        keypoint_pooler_resolution=cfg.model.keypoint_pooler_resolution,
         stage_blocks=cfg.model.stage_blocks,
         groups=cfg.model.resnet_groups,
         width_per_group=cfg.model.resnet_width_per_group,
@@ -635,6 +645,10 @@ def train(cfg, logger):
     evaluator = make_sgg_evaluator(cfg, train_ds, val_ds)
     eval_fn = None
 
+    from veto_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard().install()
+
     t_prev = time.time()
     for it, (batch, _) in enumerate(
         train_gen(cfg.solver.max_iter, start_iter), start=start_iter
@@ -662,6 +676,17 @@ def train(cfg, logger):
                 f"iter {it}/{cfg.solver.max_iter}  {meters}  "
                 f"lr_scale {float(scale):.4f}  eta {meters.eta_string(it, cfg.solver.max_iter)}"
             )
+        if guard.requested:
+            # preemption notice (SIGTERM): save after the completed step
+            # and exit cleanly (SURVEY §5 preemption-aware save)
+            ckpt.save(it + 1, state, extra={
+                "best": ctrl.best,
+                "bad_epochs": ctrl.bad_epochs,
+                "cooldown_counter": ctrl.cooldown_counter,
+                "num_decays": ctrl.num_decays,
+            })
+            logger.info(f"preemption signal: checkpointed at iter {it + 1}")
+            break
         if (it + 1) % cfg.solver.checkpoint_period == 0:
             ckpt.save(it + 1, state, extra={
                 "best": ctrl.best,
@@ -697,8 +722,14 @@ def train(cfg, logger):
 def main():
     parser = argparse.ArgumentParser(description="VETO-TPU relation training")
     parser.add_argument("--config", default=None)
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (raise at the first NaN-producing op)")
     parser.add_argument("opts", nargs="*", default=[])
     args = parser.parse_args()
+    if args.debug_nans:
+        # re-run any op that produced a NaN eagerly and raise at the exact
+        # primitive (SURVEY §5 debug toggle; jax.config jax_debug_nans)
+        jax.config.update("jax_debug_nans", True)
 
     from veto_tpu.config import load_config
     from veto_tpu.utils.logger import setup_logger

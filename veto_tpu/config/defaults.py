@@ -130,6 +130,19 @@ class DetectorConfig:
     fold_bn: bool = True
     fpn_channels: int = 256
     use_depth: bool = True  # depth R-18 backbone (reference backbone.py:83-93)
+    # mask head (MODEL.MASK_ON + ROI_MASK_HEAD.*, reference
+    # defaults.py:263-280; FPN variant with own pooling)
+    mask_on: bool = False
+    mask_conv_layers: Tuple[int, ...] = (256, 256, 256, 256)
+    mask_pooler_resolution: int = 14
+    # keypoint head (MODEL.KEYPOINT_ON + ROI_KEYPOINT_HEAD.*,
+    # reference defaults.py:282-292)
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_conv_layers: Tuple[int, ...] = tuple(512 for _ in range(8))
+    keypoint_pooler_resolution: int = 14
+    # per-image roi budget for the mask/keypoint heads in pretraining
+    head_rois_per_image: int = 64
     # attribute head (MODEL.ATTRIBUTE_ON + ROI_ATTRIBUTE_HEAD.*,
     # reference defaults.py:34, 251-262)
     attribute_on: bool = False

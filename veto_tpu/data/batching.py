@@ -63,6 +63,28 @@ def make_sgg_batch(
             k = min(np.asarray(attrs).shape[1], 10)
             attributes[i, :n, :k] = np.asarray(attrs)[:n, :k]
 
+    # dense GT masks / keypoints ride along only when a record carries them
+    # (MODEL.MASK_ON / KEYPOINT_ON detector pretraining)
+    masks = None
+    if any(rec.get("masks") is not None for rec in records):
+        masks = np.zeros((b, max_boxes, h, w), np.float32)
+        for i, rec in enumerate(records):
+            rm = rec.get("masks")
+            if rm is not None and len(rm):
+                n = min(len(rm), max_boxes)
+                ih, iw = rm.shape[1:3]
+                masks[i, :n, :ih, :iw] = rm[:n]
+    keypoints = None
+    if any(rec.get("keypoints") is not None for rec in records):
+        nk = max(rec["keypoints"].shape[1] for rec in records
+                 if rec.get("keypoints") is not None)
+        keypoints = np.zeros((b, max_boxes, nk, 3), np.float32)
+        for i, rec in enumerate(records):
+            rk = rec.get("keypoints")
+            if rk is not None and len(rk):
+                n = min(len(rk), max_boxes)
+                keypoints[i, :n] = rk[:n]
+
     # predcls: detector logits are the GT one-hot (relation_head.py:104-111
     # overloads predict_logits with to_onehot(labels))
     eye = np.eye(num_obj_classes, dtype=np.float32)
@@ -71,5 +93,5 @@ def make_sgg_batch(
     return SGGBatch(
         images=images, depth=depth, boxes=boxes, box_mask=box_mask,
         labels=labels, obj_logits=obj_logits, rel_matrix=rel_matrix,
-        sizes=sizes, attributes=attributes,
+        sizes=sizes, attributes=attributes, masks=masks, keypoints=keypoints,
     )

@@ -29,6 +29,8 @@ class SyntheticSGGDataset:
         with_depth: bool = True,
         render_boxes: bool = False,
         deterministic_rels: bool = False,
+        with_masks: bool = False,
+        with_keypoints: int = 0,
     ):
         self.num_images = num_images
         self.image_size = image_size
@@ -53,6 +55,13 @@ class SyntheticSGGDataset:
         # relation head only sees detector features (no GT identity to
         # memorise against).
         self.deterministic_rels = deterministic_rels
+        # with_masks=True emits per-instance dense GT masks: an ellipse
+        # inscribed in each box (so the mask differs from the trivial box
+        # fill — a mask head that merely predicts the box fails on it)
+        self.with_masks = with_masks
+        # with_keypoints=K emits K [x, y, vis] keypoints per instance at
+        # deterministic fractional positions inside the box
+        self.with_keypoints = with_keypoints
 
     def __len__(self) -> int:
         return self.num_images
@@ -109,7 +118,7 @@ class SyntheticSGGDataset:
             if self.with_depth
             else None
         )
-        return {
+        rec = {
             "image": image,
             "depth": depth,
             "boxes": boxes,
@@ -118,6 +127,28 @@ class SyntheticSGGDataset:
             "rel_tuples": rel_tuples,
             "size": np.array([w, h], np.int32),
         }
+        if self.with_masks:
+            masks = np.zeros((n, h, w), np.float32)
+            yy, xx = np.mgrid[0:h, 0:w]
+            for j in range(n):
+                xa, ya, xb, yb = boxes[j]
+                cx, cy = (xa + xb) / 2, (ya + yb) / 2
+                rx = max((xb - xa) / 2, 1.0)
+                ry = max((yb - ya) / 2, 1.0)
+                masks[j] = (((xx - cx) / rx) ** 2
+                            + ((yy - cy) / ry) ** 2 <= 1.0)
+            rec["masks"] = masks
+        if self.with_keypoints:
+            k = self.with_keypoints
+            fr = (np.arange(k, dtype=np.float32) + 0.5) / k
+            kps = np.zeros((n, k, 3), np.float32)
+            for j in range(n):
+                xa, ya, xb, yb = boxes[j]
+                kps[j, :, 0] = xa + fr * (xb - xa)
+                kps[j, :, 1] = ya + fr[::-1] * (yb - ya)
+                kps[j, :, 2] = 2.0
+            rec["keypoints"] = kps
+        return rec
 
     def batches(self, batch_size: int, max_boxes: int):
         """Yield (SGGBatch, list[record]) batches covering the dataset."""

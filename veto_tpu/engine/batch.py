@@ -25,6 +25,12 @@ class SGGBatch:
     # (B, N, 10) int32 padded per-box attribute-id lists (0 = none);
     # zeros when the dataset carries no attributes (MODEL.ATTRIBUTE_ON)
     attributes: jnp.ndarray = None
+    # (B, N, Hm, Wm) float32 dense per-instance GT masks in padded-image
+    # pixel coords (MODEL.MASK_ON detector pretraining); None otherwise
+    masks: jnp.ndarray = None
+    # (B, N, K, 3) float32 [x, y, visibility] GT keypoints
+    # (MODEL.KEYPOINT_ON); None otherwise
+    keypoints: jnp.ndarray = None
 
     @property
     def batch_size(self) -> int:

@@ -45,6 +45,9 @@ def make_detector_train_step(
     rpn_fpn_post_nms_top_n: int = 1000,
     rpn_nms_thresh: float = 0.7,
     mesh: Optional[Mesh] = None,
+    mask_on: bool = False,
+    keypoint_on: bool = False,
+    head_rois_per_image: int = 64,
 ):
     def train_step(state: TrainState, batch: SGGBatch, lr_scale: jnp.ndarray):
         h, w = batch.images.shape[1:3]
@@ -123,6 +126,63 @@ def make_detector_train_step(
                 "loss_classifier": box.classifier.mean(),
                 "loss_box_reg": box.box_reg.mean(),
             }
+
+            if mask_on or keypoint_on:
+                # positive-first static selection of the sampled rois — the
+                # reference's keep_only_positive_boxes (mask_head.py:13-33)
+                # with a fixed per-image budget; negatives that slip into
+                # the budget get zero loss weight downstream
+                pos = samples.mask & (samples.labels > 0)
+                order = jnp.argsort(~pos, axis=1, stable=True)[
+                    :, :head_rois_per_image]
+                sel_pos = jnp.take_along_axis(pos, order, axis=1)
+                sel_rois = jnp.take_along_axis(
+                    rois, order[..., None].astype(jnp.int32), axis=1)
+                # both reference loss evaluators re-match their proposals
+                # to targets with their own Matcher (mask loss.py:55-66,
+                # keypoint loss.py:66-77) rather than reusing the box
+                # head's match — reproduce that
+                from veto_tpu.models.detector.box_head import (
+                    assign_labels_to_proposals,
+                )
+                m_labels, m_matched = jax.vmap(
+                    lambda pb, pm, gb, gl, gm: assign_labels_to_proposals(
+                        pb, pm, gb, gl, gm, fg_iou_threshold=box_fg_iou)
+                )(sel_rois, sel_pos, batch.boxes, batch.labels,
+                  batch.box_mask)
+
+            if mask_on:
+                from veto_tpu.models.detector.mask_head import mask_loss
+
+                mlogits = model.apply(
+                    variables, feats, sel_rois, method="mask_forward")
+                ml = jax.vmap(mask_loss)(
+                    mlogits, m_labels, m_matched, batch.masks, sel_rois,
+                    sel_pos)
+                # the reference averages BCE over the concatenation of all
+                # images' positives (loss.py:112-127): combine the
+                # per-image means weighted by their element counts
+                mm = mlogits.shape[2]
+                wts = (ml.num_pos * mm * mm).astype(jnp.float32)
+                losses["loss_mask"] = (
+                    (ml.loss * wts).sum() / jnp.maximum(wts.sum(), 1.0))
+
+            if keypoint_on:
+                from veto_tpu.models.detector.keypoint_head import (
+                    keypoint_loss,
+                )
+
+                klogits = model.apply(
+                    variables, feats, sel_rois, method="keypoint_forward")
+                kps = jax.vmap(
+                    lambda gk, mi: gk[jnp.maximum(mi, 0)]
+                )(batch.keypoints, m_matched)
+                kl = jax.vmap(keypoint_loss)(
+                    klogits, kps, sel_rois, sel_pos & (m_matched >= 0))
+                kwts = kl.num_valid.astype(jnp.float32)
+                losses["loss_kp"] = (
+                    (kl.loss * kwts).sum() / jnp.maximum(kwts.sum(), 1.0))
+
             return sum(losses.values()), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(

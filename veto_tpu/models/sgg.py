@@ -155,6 +155,17 @@ class SGGModel(nn.Module):
     # box head's MLP features (SHARE_BOX_FEATURE_EXTRACTOR=True)
     attribute_on: bool = False
     num_attributes: int = 201
+    # mask head (MODEL.MASK_ON + ROI_MASK_HEAD.*, defaults.py:263-280);
+    # FPN variant: own 14x14 pooling + conv stack + deconv predictor
+    mask_on: bool = False
+    mask_conv_layers: Tuple[int, ...] = (256, 256, 256, 256)
+    mask_pooler_resolution: int = 14
+    # keypoint head (MODEL.KEYPOINT_ON + ROI_KEYPOINT_HEAD.*,
+    # defaults.py:282-292)
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_conv_layers: Tuple[int, ...] = tuple(512 for _ in range(8))
+    keypoint_pooler_resolution: int = 14
     # causal predictor knobs (MODEL.ROI_RELATION_HEAD.CAUSAL.*)
     causal_effect_type: str = "none"
     causal_fusion_type: str = "sum"
@@ -192,6 +203,25 @@ class SGGModel(nn.Module):
             from .detector.attribute_head import AttributePredictor
             self.attribute_predictor = AttributePredictor(
                 num_attributes=self.num_attributes, dtype=self.dtype
+            )
+        if self.mask_on:
+            from .detector.mask_head import MaskFeatureExtractor, MaskPredictor
+            self.mask_extractor = MaskFeatureExtractor(
+                conv_layers=self.mask_conv_layers, dtype=self.dtype
+            )
+            self.mask_predictor = MaskPredictor(
+                num_classes=self.num_obj_classes,
+                dim_reduced=self.mask_conv_layers[-1], dtype=self.dtype
+            )
+        if self.keypoint_on:
+            from .detector.keypoint_head import (
+                KeypointFeatureExtractor, KeypointPredictor,
+            )
+            self.keypoint_extractor = KeypointFeatureExtractor(
+                conv_layers=self.keypoint_conv_layers, dtype=self.dtype
+            )
+            self.keypoint_predictor = KeypointPredictor(
+                num_keypoints=self.num_keypoints, dtype=self.dtype
             )
         if self.predictor in self.LEGACY_PREDICTORS:
             from .relation.legacy import (
@@ -356,6 +386,28 @@ class SGGModel(nn.Module):
         x = self.box_extractor(pooled)
         logits, deltas = self.box_predictor(x)
         return logits.astype(jnp.float32), deltas.astype(jnp.float32)
+
+    def mask_forward(self, feats, rois):
+        """Mask head on given rois (MODEL.MASK_ON): own 14x14 pooling →
+        conv stack → deconv predictor (ROIMaskHead with
+        SHARE_BOX_FEATURE_EXTRACTOR=False, mask_head.py:46-79).
+        (B, R, 4) rois → (B, R, 2M, 2M, C) per-class mask logits."""
+        pooled = self._pool_boxes(feats, rois, self.mask_pooler_resolution)
+        b, r = pooled.shape[:2]
+        flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        logits = self.mask_predictor(self.mask_extractor(flat))
+        return logits.reshape((b, r) + logits.shape[1:])
+
+    def keypoint_forward(self, feats, rois):
+        """Keypoint head on given rois (MODEL.KEYPOINT_ON):
+        (B, R, 4) rois → (B, R, 4M, 4M, K) heatmap logits
+        (ROIKeypointHead, keypoint_head.py:24-51)."""
+        pooled = self._pool_boxes(
+            feats, rois, self.keypoint_pooler_resolution)
+        b, r = pooled.shape[:2]
+        flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        logits = self.keypoint_predictor(self.keypoint_extractor(flat))
+        return logits.reshape((b, r) + logits.shape[1:])
 
     # ------------------------------------------------------------------
     # sgdet detection cascade
@@ -586,6 +638,10 @@ class SGGModel(nn.Module):
                 jnp.asarray([[w, h]], jnp.float32), (images.shape[0], 1)
             )
         det = self.detect(images, image_sizes)
+        if self.mask_on:
+            self.mask_forward(det.features, boxes[:, :1])
+        if self.keypoint_on:
+            self.keypoint_forward(det.features, boxes[:, :1])
         out = self.relate(
             det.features, depth, boxes, box_mask, obj_labels, obj_logits,
             pair_idx, pair_mask, train=False,
