@@ -63,8 +63,14 @@ def main():
              "the image-retrieval preprocessing "
              "(veto_tpu/retrieval/preprocessing.py; reference "
              "eval_results.pytorch analog)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (raise at the first NaN-producing op)")
     parser.add_argument("opts", nargs="*", default=[])
     args = parser.parse_args()
+    if args.debug_nans:
+        # re-run any op that produced a NaN eagerly and raise at the exact
+        # primitive (SURVEY §5 debug toggle; jax.config jax_debug_nans)
+        jax.config.update("jax_debug_nans", True)
 
     import numpy as np
     from relation_train_net import (
