@@ -242,6 +242,9 @@ def build_model(cfg):
         backbone_type=cfg.model.backbone,
         attribute_on=cfg.model.attribute_on,
         num_attributes=cfg.model.num_attributes,
+        stage_with_dcn=cfg.model.stage_with_dcn,
+        dcn_modulated=cfg.model.dcn_modulated,
+        dcn_deformable_groups=cfg.model.dcn_deformable_groups,
         mask_on=cfg.model.mask_on,
         mask_conv_layers=cfg.model.mask_conv_layers,
         mask_pooler_resolution=cfg.model.mask_pooler_resolution,

@@ -130,6 +130,11 @@ class DetectorConfig:
     fold_bn: bool = True
     fpn_channels: int = 256
     use_depth: bool = True  # depth R-18 backbone (reference backbone.py:83-93)
+    # deformable conv stages (MODEL.RESNETS.STAGE_WITH_DCN etc.,
+    # reference defaults.py RESNETS section)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
+    dcn_deformable_groups: int = 1
     # mask head (MODEL.MASK_ON + ROI_MASK_HEAD.*, reference
     # defaults.py:263-280; FPN variant with own pooling)
     mask_on: bool = False

@@ -188,6 +188,11 @@ class Bottleneck(nn.Module):
     stride: int = 1
     groups: int = 1
     stride_in_1x1: bool = True
+    # deformable conv2 (reference resnet.py:299-315: STAGE_WITH_DCN
+    # replaces the 3x3 with DFConv2d)
+    with_dcn: bool = False
+    dcn_modulated: bool = True
+    dcn_deformable_groups: int = 1
     # fold the (frozen) BN affine into the conv weights: convs grow a bias,
     # the FrozenBatchNorm modules disappear.  The detector is frozen during
     # relation training, so the fold is exact; `fold_frozen_bn_params`
@@ -220,10 +225,21 @@ class Bottleneck(nn.Module):
         )(x)
         y = bn("bn1", self.bottleneck_channels, y)
         y = nn.relu(y)
-        y = GroupedConv3x3(
-            features=self.bottleneck_channels, groups=self.groups,
-            stride=s3, use_bias=fold, dtype=self.dtype, name="conv2",
-        )(y)
+        if self.with_dcn:
+            from veto_tpu.ops.deform_conv import DFConv2d
+
+            y = DFConv2d(
+                features=self.bottleneck_channels,
+                with_modulated_dcn=self.dcn_modulated,
+                stride=(s3, s3), groups=self.groups,
+                deformable_groups=self.dcn_deformable_groups,
+                use_bias=fold, dtype=self.dtype, name="conv2",
+            )(y)
+        else:
+            y = GroupedConv3x3(
+                features=self.bottleneck_channels, groups=self.groups,
+                stride=s3, use_bias=fold, dtype=self.dtype, name="conv2",
+            )(y)
         y = bn("bn2", self.bottleneck_channels, y)
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=fold,
@@ -275,6 +291,10 @@ class ResNetBody(nn.Module):
     stride_in_1x1: bool = True
     fold_bn: bool = False
     stem_s2d: bool = True  # space-to-depth stem rewrite (exact; needs even H,W)
+    # per-stage deformable conv2 (MODEL.RESNETS.STAGE_WITH_DCN)
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    dcn_modulated: bool = True   # WITH_MODULATED_DCN
+    dcn_deformable_groups: int = 1  # DEFORMABLE_GROUPS
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -301,6 +321,9 @@ class ResNetBody(nn.Module):
                     groups=self.groups,
                     stride_in_1x1=self.stride_in_1x1,
                     fold_bn=self.fold_bn,
+                    with_dcn=bool(self.stage_with_dcn[stage_idx]),
+                    dcn_modulated=self.dcn_modulated,
+                    dcn_deformable_groups=self.dcn_deformable_groups,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x)
@@ -322,6 +345,9 @@ class ResNetFPNBackbone(nn.Module):
     fpn_channels: int = 256
     fold_bn: bool = False
     stem_s2d: bool = True
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    dcn_modulated: bool = True
+    dcn_deformable_groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -334,6 +360,9 @@ class ResNetFPNBackbone(nn.Module):
             width_per_group=self.width_per_group,
             fold_bn=self.fold_bn,
             stem_s2d=self.stem_s2d,
+            stage_with_dcn=self.stage_with_dcn,
+            dcn_modulated=self.dcn_modulated,
+            dcn_deformable_groups=self.dcn_deformable_groups,
             dtype=self.dtype,
             name="body",
         )(x)

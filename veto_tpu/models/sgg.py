@@ -155,6 +155,11 @@ class SGGModel(nn.Module):
     # box head's MLP features (SHARE_BOX_FEATURE_EXTRACTOR=True)
     attribute_on: bool = False
     num_attributes: int = 201
+    # deformable conv stages (MODEL.RESNETS.STAGE_WITH_DCN /
+    # WITH_MODULATED_DCN / DEFORMABLE_GROUPS; ops/deform_conv.py)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
+    dcn_deformable_groups: int = 1
     # mask head (MODEL.MASK_ON + ROI_MASK_HEAD.*, defaults.py:263-280);
     # FPN variant: own 14x14 pooling + conv stack + deconv predictor
     mask_on: bool = False
@@ -181,7 +186,10 @@ class SGGModel(nn.Module):
             self.backbone = ResNetFPNBackbone(
                 stage_blocks=self.stage_blocks, groups=self.groups,
                 width_per_group=self.width_per_group, fpn_channels=self.fpn_channels,
-                fold_bn=self.fold_bn, dtype=self.dtype,
+                fold_bn=self.fold_bn, stage_with_dcn=self.stage_with_dcn,
+                dcn_modulated=self.dcn_modulated,
+                dcn_deformable_groups=self.dcn_deformable_groups,
+                dtype=self.dtype,
             )
         self.depth_backbone = DepthResNet18(dtype=self.dtype)
         # anchors per position: len(ratios) per FPN level (one size each);
