@@ -24,14 +24,35 @@ INSTALL.md).  We pin the baseline at the low end, 10 img/s, so
 >=5x a single GPU on a v5e-8 (BASELINE.json), i.e. vs_baseline >= 0.63 per
 chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The LAST line is the ONE JSON line the driver parses:
+{"metric", "value", "unit", "vs_baseline"} for predcls train. sgdet
+eval/train throughput lines (same schema) are printed BEFORE it so round
+deltas on the deepest path are on the record too (VERDICT r3 #8).  The
+sgdet section runs in a KILLABLE CHILD PROCESS under a hard deadline
+(BENCH_SGDET_BUDGET_S, default 420 s): the tunneled remote-compile
+service sometimes degrades to minutes-per-program, and a hung sgdet
+compile must not cost the driver the predcls line.  The parent touches
+the TPU only after the child exits (one process on the chip at a time).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the three big programs here (sgdet eval,
+# sgdet train, predcls train) can take many minutes each through the
+# tunneled remote-compile service; with the cache warm (e.g. from a
+# previous bench run on this host) the whole bench is compile-free.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/veto_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - older jax
+    pass
 
 REFERENCE_IMG_PER_SEC = 10.0
 
@@ -39,11 +60,100 @@ BATCH = 8
 IMAGE_HW = (800, 1344)
 MAX_BOXES = 80
 PAIRS = 1024
+EVAL_PAIRS = 2048
 STEPS_WARMUP = 3
 STEPS_MEASURE = 20
 
 
+def _measure_sgdet():
+    """sgdet eval + train img/s at the shipped budgets (batch 8, 80 dets,
+    2048 eval pairs / 1024 train pairs, fold_bn, fused encoder, no remat) —
+    the same configuration as BASELINE.md's round-3 table."""
+    from veto_tpu.config.defaults import SolverConfig
+    from veto_tpu.data.synthetic import SyntheticSGGDataset
+    from veto_tpu.engine.train import (
+        create_train_state, make_sgdet_eval_step, make_sgdet_train_step,
+    )
+    from veto_tpu.models.sgg import SGGModel
+    from veto_tpu.solver.optim import make_optimizer
+
+    model = SGGModel(dtype=jnp.bfloat16, mode="sgdet", veto_remat=False,
+                     veto_encoder_impl="fused", fold_bn=True)
+    ds = SyntheticSGGDataset(
+        num_images=BATCH, image_size=IMAGE_HW, max_objects=MAX_BOXES - 1,
+        min_objects=8, max_relations=20, seed=0,
+    )
+    batch, _ = next(ds.batches(batch_size=BATCH, max_boxes=MAX_BOXES))
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(0)
+    small = jax.tree.map(lambda x: x[:1], batch)
+    pi = jnp.zeros((1, 8, 2), jnp.int32)
+    variables = model.init(
+        rng, small.images, small.depth, small.boxes, small.box_mask,
+        small.labels, small.obj_logits, pi, jnp.ones((1, 8), bool),
+        method="init_all",
+    )
+    tx = make_optimizer(
+        SolverConfig(), variables["params"],
+        frozen_prefixes=("backbone", "rpn", "box_extractor", "box_predictor"),
+    )
+    state = create_train_state(model, tx, rng, small, variables=variables)
+
+    eval_step = jax.jit(make_sgdet_eval_step(model, max_pairs=EVAL_PAIRS))
+    for _ in range(2):
+        sp = eval_step(state, batch)
+    _ = float(jax.device_get(sp.obj_scores).sum())  # fence
+    t0 = time.perf_counter()
+    for _ in range(STEPS_MEASURE):
+        sp = eval_step(state, batch)
+    _ = float(jax.device_get(sp.obj_scores).sum())
+    dt = time.perf_counter() - t0
+    v = BATCH * STEPS_MEASURE / dt
+    print(json.dumps({
+        "metric": "vg_sgdet_eval_images_per_sec", "value": round(v, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(v / REFERENCE_IMG_PER_SEC, 3),
+    }), flush=True)
+
+    train_step = jax.jit(
+        make_sgdet_train_step(model, tx, None, batch_size_per_image=PAIRS),
+        donate_argnums=(0,),
+    )
+    scale = jnp.asarray(1.0, jnp.float32)
+    for _ in range(2):
+        state, metrics = train_step(state, batch, scale)
+    _ = float(jax.device_get(metrics["loss"]))  # fence
+    t0 = time.perf_counter()
+    for _ in range(STEPS_MEASURE):
+        state, metrics = train_step(state, batch, scale)
+    _ = float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+    v = BATCH * STEPS_MEASURE / dt
+    print(json.dumps({
+        "metric": "vg_sgdet_train_images_per_sec", "value": round(v, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(v / REFERENCE_IMG_PER_SEC, 3),
+    }), flush=True)
+
+
 def main():
+    # sgdet first: its lines must precede the final predcls line (the one
+    # the driver parses).  A child process + timeout bounds it — neither a
+    # crash nor a wedged remote compile can lose the predcls line.
+    budget = int(os.environ.get("BENCH_SGDET_BUDGET_S", "1500"))
+    if budget > 0:
+        try:
+            subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__),
+                 "--sgdet-only"],
+                timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# sgdet bench skipped: exceeded {budget}s budget",
+                  flush=True)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# sgdet bench failed: {e!r}", flush=True)
+
     from veto_tpu.config.defaults import SolverConfig
     from veto_tpu.data.synthetic import SyntheticSGGDataset
     from veto_tpu.engine.train import create_train_state, make_train_step
@@ -103,4 +213,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--sgdet-only" in sys.argv:
+        try:
+            _measure_sgdet()
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# sgdet bench failed: {e!r}", flush=True)
+    else:
+        main()
