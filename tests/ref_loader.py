@@ -429,3 +429,42 @@ def load_ref_keypoint_head():
     inf = _exec_ref_file(
         "pysgg/modeling/roi_heads/keypoint_head/inference.py", iname)
     return loss, inf
+
+
+def load_ref_fbnet():
+    """The REAL fbnet_builder.py + fbnet_modeldef.py (torch).
+
+    pysgg.layers is stubbed with the plain torch ops it re-exports
+    (BatchNorm2d/Conv2d/interpolate are vanilla; FrozenBatchNorm2d is only
+    needed for bn_type='af').
+    """
+    bname = "pysgg.modeling.backbone.fbnet_builder"
+    mname = "pysgg.modeling.backbone.fbnet_modeldef"
+    if bname in sys.modules and mname in sys.modules:
+        return sys.modules[bname], sys.modules[mname]
+    import torch as _torch
+    import torch.nn as _nn
+    import torch.nn.functional as _F
+
+    if "pysgg.layers.misc" not in sys.modules:
+        _exec_ref_file("pysgg/layers/misc.py", "pysgg.layers.misc")
+    misc = sys.modules["pysgg.layers.misc"]
+
+    class _FrozenBN(_nn.Module):
+        def __init__(self, n):
+            super().__init__()
+            self.register_buffer("weight", _torch.ones(n))
+            self.register_buffer("bias", _torch.zeros(n))
+
+        def forward(self, x):
+            return x * self.weight.view(1, -1, 1, 1) + self.bias.view(
+                1, -1, 1, 1)
+
+    _stub("pysgg.layers", BatchNorm2d=_nn.BatchNorm2d, Conv2d=_nn.Conv2d,
+          FrozenBatchNorm2d=_FrozenBN, interpolate=_F.interpolate)
+    sys.modules["pysgg.layers"].misc = misc
+    builder = _exec_ref_file("pysgg/modeling/backbone/fbnet_builder.py",
+                             bname)
+    modeldef = _exec_ref_file("pysgg/modeling/backbone/fbnet_modeldef.py",
+                              mname)
+    return builder, modeldef
