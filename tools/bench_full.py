@@ -227,13 +227,32 @@ def main():
         "fold_bn": args.fold_bn,
         "steps_measured": args.steps,
     }
+    # the XLA cost model reports ZERO FLOPs for Pallas custom calls, so the
+    # fused encoder — the step's largest FLOP consumer — is invisible to
+    # `cost_analysis()`.  Add its analytic count (ops/fused_encoder.py
+    # encoder_flops) or the MFU is understated by ~2x (round-3's "23.9%"
+    # was this artifact; the corrected figure is ~51%).
+    from veto_tpu.ops.fused_encoder import encoder_flops
+
+    t_pad = 20  # 19 tokens padded to the sublane multiple
+    enc_train = encoder_flops(args.batch * args.pairs, t_pad, 576, 6,
+                              with_backward=True)
+    enc_eval = encoder_flops(args.batch * args.eval_pairs, t_pad, 576, 6,
+                             with_backward=False)
     if flops:
         out["train_step_tflop_xla_cost_model"] = round(flops / 1e12, 2)
-        out["mfu_vs_v5e_bf16_peak"] = round(flops / dt_train / V5E_BF16_PEAK, 4)
+        out["train_step_tflop_encoder_analytic"] = round(enc_train / 1e12, 2)
+        total = flops + enc_train
+        out["train_step_tflop_total"] = round(total / 1e12, 2)
+        out["mfu_vs_v5e_bf16_peak"] = round(
+            total / dt_train / V5E_BF16_PEAK, 4)
     if eval_flops:
         out["eval_step_tflop_xla_cost_model"] = round(eval_flops / 1e12, 2)
+        out["eval_step_tflop_encoder_analytic"] = round(enc_eval / 1e12, 2)
+        etotal = eval_flops + enc_eval
+        out["eval_step_tflop_total"] = round(etotal / 1e12, 2)
         out["eval_mfu_vs_v5e_bf16_peak"] = round(
-            eval_flops / dt_eval / V5E_BF16_PEAK, 4)
+            etotal / dt_eval / V5E_BF16_PEAK, 4)
     print(json.dumps(out, indent=1))
 
 

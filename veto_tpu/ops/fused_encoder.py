@@ -510,3 +510,23 @@ def reference_encoder_layer(x, params: EncoderLayerParams, heads, t_pad,
     f1 = h2.astype(dtype) @ params.w1 + params.b1
     g = jax.nn.gelu(f1.astype(jnp.float32), approximate=False).astype(dtype)
     return x1 + (g @ params.w2 + params.b2).astype(dtype)
+
+
+def encoder_flops(pairs: int, t_pad: int, d: int, layers: int,
+                  with_backward: bool = False) -> float:
+    """Analytic FLOP count of the fused encoder stack.
+
+    The XLA cost model reports 0 FLOPs for Pallas custom calls, so any
+    MFU computed from ``compiled.cost_analysis()`` silently omits the
+    encoder — the single largest FLOP consumer of the train step
+    (~16 TF of a ~29 TF step at flagship shapes).  Per token per layer:
+    qkv (2*3d^2) + out proj (2d^2) + attention scores/values (2*2*t*d)
+    + MLP (2*2*d*f, f=2d).  Backward costs 2x forward (dX + dW); the
+    stashed qkv/x1 kernel recomputes only LN/softmax/gelu (vector ops,
+    not counted as MXU FLOPs).
+    """
+    f = 2 * d
+    per_tok_layer = 2 * d * (3 * d) + 2 * d * d + 2 * 2 * t_pad * d \
+        + 2 * 2 * d * f
+    fwd = pairs * t_pad * layers * per_tok_layer
+    return float(fwd * (3 if with_backward else 1))
