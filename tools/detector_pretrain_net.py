@@ -146,7 +146,8 @@ def train(cfg, logger):
     start_iter = int(state.step)
     scale_fn = multistep_scale(cfg.solver)
     meters = MetricLogger()
-    writer = JSONLWriter(cfg.output_dir)
+    writer = JSONLWriter(cfg.output_dir,
+                         tensorboard=cfg.tensorboard_on)
 
     from veto_tpu.utils.preemption import PreemptionGuard
 

@@ -180,8 +180,26 @@ def main():
         logger.info(
             "OI: " + "  ".join(f"{k} {v:.4f}" for k, v in oi_agg.items())
         )
-    logger.info("\n" + evaluator.summary_string())
+    summary = evaluator.summary_string()
+    logger.info("\n" + summary)
+    # human-readable result file (reference vg_eval.py:425-426)
+    with open(os.path.join(cfg.output_dir, "evaluation_res.txt"), "w") as f:
+        f.write(summary + "\n")
     agg = evaluator.aggregate()
+    if cfg.test.save_plots and evaluator.longtail_parts is not None:
+        from veto_tpu.data.predicate_stats import predicate_counts
+        from veto_tpu.utils.viz import eval_plots_from_aggregate
+
+        names = getattr(ds, "ind_to_predicates",
+                        [str(i) for i in range(cfg.relation.num_classes)])
+        counts = predicate_counts(
+            "GQA" if "GQA" in cfg.data.dataset else "VG"
+        )[: cfg.relation.num_classes]
+        p = eval_plots_from_aggregate(
+            agg, names, counts, evaluator.longtail_parts,
+            cfg.output_dir, cfg.relation.mode, 1)
+        if p:
+            logger.info(f"wrote {p}")
     out = {
         metric: {str(k): v for k, v in vals.items()}
         for metric, vals in agg.items()

@@ -644,9 +644,28 @@ def train(cfg, logger):
 
         global_buffer.enable(True)
     meters = MetricLogger()
-    writer = JSONLWriter(cfg.output_dir)
+    writer = JSONLWriter(cfg.output_dir,
+                         tensorboard=cfg.tensorboard_on)
     evaluator = make_sgg_evaluator(cfg, train_ds, val_ds)
     eval_fn = None
+    n_evals = 0
+    if cfg.test.save_plots:
+        # startup frequency-distribution PNG (reference draws it while
+        # building dataset statistics, visual_genome.py:236-295)
+        from veto_tpu.utils.viz import save_rel_freq_dist
+
+        names = getattr(
+            train_ds, "ind_to_predicates",
+            [str(i) for i in range(cfg.relation.num_classes)],
+        )[1:cfg.relation.num_classes]
+        parts = (evaluator.longtail_parts[1:]
+                 if evaluator.longtail_parts is not None
+                 else [None] * len(names))
+        p = save_rel_freq_dist(
+            names, counts[1:cfg.relation.num_classes], parts,
+            os.path.join(cfg.output_dir, "rel_freq_dist.png"))
+        if p:
+            logger.info(f"wrote {p}")
 
     from veto_tpu.utils.preemption import PreemptionGuard
 
@@ -706,6 +725,18 @@ def train(cfg, logger):
                 f"validation @ {it + 1}:\n{evaluator.summary_string()}"
             )
             writer.write(it + 1, {"val_mR100": mr100})
+            n_evals += 1
+            if cfg.test.save_plots and evaluator.longtail_parts is not None:
+                # per-eval frequency→recall PNG (reference vg_eval.py:208-248)
+                from veto_tpu.utils.viz import eval_plots_from_aggregate
+
+                eval_plots_from_aggregate(
+                    agg,
+                    getattr(train_ds, "ind_to_predicates",
+                            [str(i) for i in
+                             range(cfg.relation.num_classes)]),
+                    counts, evaluator.longtail_parts,
+                    cfg.output_dir, cfg.relation.mode, n_evals)
             ctrl.report_validation(mr100)  # plateau signal (reference :559-563)
             if ctrl.should_stop:
                 logger.info("max LR decays reached; stopping")

@@ -278,6 +278,10 @@ class TestConfig:
     # dump per-image predictions for visualization (the reference's
     # visual_info.json, vg_eval.py:431-456)
     save_visual_info: bool = False
+    # diagnostic PNGs: rel_freq_dist.png at startup and
+    # rel_freq_dist2recall-{mode}-{n}.png after each eval (reference
+    # visual_genome.py:236-295, vg_eval.py:208-248; utils/viz.py)
+    save_plots: bool = False
     # detection test-time augmentation (TEST.BBOX_AUG.*, engine/bbox_aug.py)
     bbox_aug_enabled: bool = False
     bbox_aug_h_flip: bool = True
@@ -303,6 +307,10 @@ class Config:
     # inter_data_buffer.pkl at exit (reference _C.GLOBAL_BUFFER_ON,
     # config/defaults.py:24)
     global_buffer_on: bool = False
+    # also mirror scalar metrics into a TensorBoard event file
+    # (utils/tb_writer.py — dependency-free TFRecord writer; the reference
+    # uses torch's SummaryWriter)
+    tensorboard_on: bool = False
 
     # ------------------------------------------------------------------
     def replace(self, **kwargs) -> "Config":

@@ -100,14 +100,34 @@ class MetricLogger:
 
 
 class JSONLWriter:
-    """Append-only metrics sink replacing the TFBoard handler."""
+    """Append-only metrics sink replacing the TFBoard handler.
 
-    def __init__(self, output_dir: str, filename: str = "metrics.jsonl"):
+    ``tensorboard=True`` additionally mirrors every scalar into a real
+    TensorBoard event file (utils/tb_writer.py, stdlib-only)."""
+
+    def __init__(self, output_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = False):
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, filename)
+        self._tb = None
+        if tensorboard:
+            from .tb_writer import TBWriter
+
+            self._tb = TBWriter(os.path.join(output_dir, "tb"))
 
     def write(self, step: int, metrics: Dict[str, float]):
         rec = {"step": int(step)}
-        rec.update({k: float(v) for k, v in metrics.items()})
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v  # non-scalar entries pass through verbatim
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                try:
+                    self._tb.add_scalar(k, float(v), step)
+                except (TypeError, ValueError):
+                    pass  # non-scalar entries stay JSONL-only
+            self._tb.flush()
