@@ -776,7 +776,9 @@ def main():
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.dump(os.path.join(cfg.output_dir, "config.json"))
     logger = setup_logger("veto_tpu", cfg.output_dir, rank=jax.process_index())
-    logger.info(f"devices: {jax.devices()}")
+    from veto_tpu.utils.env_info import collect_env_info
+
+    logger.info("environment:\n" + collect_env_info())
     train(cfg, logger)
 
 
