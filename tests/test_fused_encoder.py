@@ -64,9 +64,10 @@ def test_fused_layer_matches_reference_fwd_and_grads():
 
 
 def test_stash_backward_bit_identical():
-    """The stashed-qkv/x1 backward (FUSED_STASH) must produce bit-identical
-    gradients to the recompute backward: the stash holds the exact bf16/f32
-    values the recompute path would rebuild."""
+    """The stashed-qkv/x1 MONOLITHIC backward (FUSED_STASH, split disabled)
+    must produce bit-identical gradients to the recompute backward: the
+    stash holds the exact bf16/f32 values the recompute path would
+    rebuild."""
     P, T, TP, D, F, H = 8, 19, 24, 96, 192, 6
     rng = np.random.RandomState(4)
     params = _params(rng, D, F)
@@ -78,13 +79,52 @@ def test_stash_backward_bit_identical():
             return (out.astype(jnp.float32) ** 2).sum()
         return f
 
-    ga = jax.grad(loss(True), argnums=(0, 1))(x, params)
-    gb = jax.grad(loss(False), argnums=(0, 1))(x, params)
+    old = fe.FUSED_SPLIT
+    fe.FUSED_SPLIT = False
+    try:
+        ga = jax.grad(loss(True), argnums=(0, 1))(x, params)
+        gb = jax.grad(loss(False), argnums=(0, 1))(x, params)
+    finally:
+        fe.FUSED_SPLIT = old
     np.testing.assert_array_equal(np.asarray(ga[0]), np.asarray(gb[0]))
     for name in params._fields:
         np.testing.assert_array_equal(
             np.asarray(getattr(ga[1], name)), np.asarray(getattr(gb[1], name)),
             err_msg=name)
+
+
+def test_split_backward_matches_recompute():
+    """The two-pass split backward (FUSED_SPLIT, the TPU default) must match
+    the single-kernel recompute backward to accumulation-order rounding —
+    same math, the dW partial sums just tile differently."""
+    P, T, TP, D, F, H = 16, 19, 24, 96, 192, 6
+    rng = np.random.RandomState(5)
+    params = _params(rng, D, F)
+    x = jnp.asarray(rng.randn(P * TP, D).astype(np.float32))
+
+    def loss(stash):
+        def f(x, p):
+            out = fe.fused_encoder_layer(x, p, H, TP, T, 4, None, None, stash)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    old = fe.FUSED_SPLIT
+    try:
+        # _bwd reads FUSED_SPLIT when the cotangent is pulled back, i.e.
+        # inside the jax.grad call — toggle it around the WHOLE call
+        fe.FUSED_SPLIT = True
+        ga = jax.grad(loss(True), argnums=(0, 1))(x, params)
+        fe.FUSED_SPLIT = False
+        gb = jax.grad(loss(False), argnums=(0, 1))(x, params)
+    finally:
+        fe.FUSED_SPLIT = old
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               atol=2e-5)
+    for name in params._fields:
+        a, b = np.asarray(getattr(ga[1], name)), np.asarray(getattr(gb[1], name))
+        scale = max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-6,
+                                   err_msg=name)
 
 
 def test_pair_attention_matches_reference():

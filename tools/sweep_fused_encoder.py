@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--heads", type=int, default=6)
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--split", action="store_true",
+                    help="sweep the two-pass split backward's block sizes")
     args = ap.parse_args()
 
     t_pad = -(-args.t // 4) * 4
@@ -66,6 +68,40 @@ def main():
         return stack(x, ps, block, bwd_block, attn_sub, stash).astype(
             jnp.float32).sum()
 
+    if args.split:
+        # sweep the TWO-PASS split backward's per-pass block sizes
+        # (fe.FUSED_SPLIT path; forward block fixed at the swept optimum 8)
+        fe.FUSED_SPLIT = True
+        results = []
+        for ffn_blk, att_blk in itertools.product([8, 16, 32],
+                                                  [8, 16, 32]):
+            fe.FUSED_FFN_BWD_BLOCK = ffn_blk
+            fe.FUSED_ATT_BWD_BLOCK = att_blk
+            try:
+                fn = jax.jit(jax.grad(
+                    lambda x, ps: loss(x, ps, 8, None, None, True),
+                    argnums=(0, 1)))
+                g, gp = fn(x, params)
+                _ = float(g.astype(jnp.float32)[0, 0])
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    g, gp = fn(x, params)
+                _ = (float(g.astype(jnp.float32)[0, 0])
+                     + float(gp[0].w_qkv[0, 0]))
+                ms = (time.perf_counter() - t0) / args.steps * 1e3
+                results.append((ms, ffn_blk, att_blk))
+                print(f"ffn_blk={ffn_blk:3d} att_blk={att_blk:3d}  "
+                      f"{ms:8.2f} ms", flush=True)
+            except Exception as e:
+                print(f"ffn_blk={ffn_blk:3d} att_blk={att_blk:3d}  FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+        if results:
+            results.sort()
+            ms, ffn_blk, att_blk = results[0]
+            print(f"\nBEST: ffn_blk={ffn_blk} att_blk={att_blk}  {ms:.2f} ms")
+        return
+
+    fe.FUSED_SPLIT = False  # sweep the monolithic backward
     grid = list(itertools.product([8, 16, 32], [None],
                                   [2, 4, 8, 16], [False, True]))
     results = []

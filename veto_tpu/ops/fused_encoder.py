@@ -183,6 +183,20 @@ FUSED_ATTN_SUB = None
 # the extra VMEM forces a smaller forward block.  Traffic cost ~0.76 GB/layer
 # round-trip vs ~0.44 TFLOP/layer compute saved.
 FUSED_STASH = True
+# split backward (round 4): instead of ONE kernel that computes dx AND
+# emits the three FFN factor tensors (h2, df1, g — ~0.9 GB/layer at
+# flagship shapes) to HBM for XLA-side dW1/dW2 matmuls, run TWO passes —
+# FFN backward (emits dx1, accumulates dW1/dW2 in VMEM) then attention
+# backward (emits dx, accumulates dWqkv/dWout in VMEM).  Each pass holds
+# only its own weights + accumulators, so both fit bigger row blocks than
+# the monolithic kernel's bwd_block=4 VMEM ceiling, and the factor-tensor
+# HBM round-trips disappear (~1.9 GB/layer saved).  Requires the
+# qkv/x1 stash (without it, pass A cannot form x1 without re-running the
+# whole attention forward).  Gradients match the monolithic path to
+# accumulation-order rounding (the dW partial-sum block size changes).
+FUSED_SPLIT = True
+FUSED_FFN_BWD_BLOCK = 8
+FUSED_ATT_BWD_BLOCK = 8
 
 
 def _sub_rows(blk, t_pad, attn_sub):
@@ -432,7 +446,262 @@ def _ln_bwd(dout, c, inv, scale):
     )
 
 
+def _ffn_bwd_kernel(x1_ref, ln2s, ln2b, w1, b1, w2, dy_ref,
+                    dx1_ref, dw1_ref, dw2_ref, vd_ref, vf_ref):
+    """Split-backward pass A: FFN sub-block ``y = x1 + W2 gelu(W1 LN2(x1))``.
+
+    Emits dx1 (f32 — the exact value the monolithic kernel carried
+    internally) and accumulates dW1/dW2 + the FFN-side vector grads
+    (d ln2_scale/bias, d b_out = sum dx1, d b2, d b1) across grid steps.
+    f1/gelu are recomputed from the stashed x1 (stashing f1 would need f32
+    for gradient parity — see FUSED_STASH note).
+    """
+    dtype = x1_ref.dtype
+    x1 = x1_ref[:]
+    h2f, c2, inv2 = _ln(x1, ln2s[:], ln2b[:])
+    h2 = h2f.astype(dtype)
+    f1 = jnp.dot(h2, w1[:], preferred_element_type=jnp.float32) + b1[:]
+    g = _gelu_exact(f1)
+    gb = g.astype(dtype)
+
+    dy = dy_ref[:].astype(jnp.float32)
+    dg = jnp.dot(dy.astype(dtype), w2[:].T,
+                 preferred_element_type=jnp.float32)
+    z = f1
+    phi = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+    cdf = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+    df1 = dg * (cdf + z * phi)
+    dh2f = jnp.dot(df1.astype(dtype), w1[:].T,
+                   preferred_element_type=jnp.float32)
+    dx1 = dy + _ln_bwd(dh2f, c2, inv2, ln2s[:])
+    dx1_ref[:] = dx1
+
+    df1b = df1.astype(dtype)
+    dw1 = jax.lax.dot_general(  # h2^T df1
+        h2, df1b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2 = jax.lax.dot_general(  # g^T dy
+        gb, dy.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xhat2 = c2 * inv2
+    vd = jnp.stack([
+        (dh2f * xhat2).sum(0),  # d ln2_scale
+        dh2f.sum(0),            # d ln2_bias
+        dx1.sum(0),             # d b_out
+        dy.sum(0),              # d b2
+    ])
+    vf = df1.sum(0).reshape(1, -1)  # d b1
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = dw1
+        dw2_ref[:] = dw2
+        vd_ref[:] = vd
+        vf_ref[:] = vf
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dw1_ref[:] += dw1
+        dw2_ref[:] += dw2
+        vd_ref[:] += vd
+        vf_ref[:] += vf
+
+
+def _att_bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, qkv_ref, dx1_ref,
+                    dx_ref, dwqkv_ref, dwout_ref, vd_ref,
+                    *, heads, t_pad, t_valid, sub_rows=None):
+    """Split-backward pass B: attention sub-block ``x1 = x + Wout MHA(LN1 x)``.
+
+    Consumes pass A's f32 dx1, recomputes the attention probabilities from
+    the stashed qkv, emits dx, and accumulates dWqkv/dWout + d ln1_scale/bias
+    across grid steps.
+    """
+    dtype = x_ref.dtype
+    d = x_ref.shape[-1]
+    dh = d // heads
+    scale = dh ** -0.5
+
+    x = x_ref[:]
+    ln1sv = ln1s[:]
+    h1f, c1, inv1 = _ln(x, ln1sv, ln1b[:])
+    h1 = h1f.astype(dtype)
+    qkv = qkv_ref[:]
+    rows = x.shape[0]
+    sub = rows if sub_rows is None else min(sub_rows, rows)
+    mask = _mask(sub, t_pad, t_valid)
+
+    dx1 = dx1_ref[:]
+    datt = jnp.dot(dx1.astype(dtype), wout[:].T,
+                   preferred_element_type=jnp.float32)
+    dattb = datt.astype(dtype)
+    att_subs = []
+    dqkv_subs = []
+    for s0 in range(0, rows, sub):
+        att_parts = []
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(heads):
+            q = qkv[s0:s0 + sub, h * dh:(h + 1) * dh]
+            k = qkv[s0:s0 + sub, d + h * dh:d + (h + 1) * dh]
+            v = qkv[s0:s0 + sub, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jax.nn.softmax(jnp.where(mask, s, _NEG), axis=-1)
+            pb = p.astype(dtype)
+            att_parts.append(jax.lax.dot_general(
+                pb, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype))
+            do = dattb[s0:s0 + sub, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(
+                pb, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(dtype)
+            dq_parts.append(jax.lax.dot_general(
+                dsb, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dk_parts.append(jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dv_parts.append(dv)
+        att_subs.append(jnp.concatenate(att_parts, axis=-1))
+        dqkv_subs.append(jnp.concatenate(
+            [jnp.concatenate(dq_parts, axis=-1),
+             jnp.concatenate(dk_parts, axis=-1),
+             jnp.concatenate(dv_parts, axis=-1)], axis=-1))
+    att = att_subs[0] if len(att_subs) == 1 else jnp.concatenate(att_subs, axis=0)
+    dqkv = (dqkv_subs[0] if len(dqkv_subs) == 1
+            else jnp.concatenate(dqkv_subs, axis=0))
+
+    dh1 = jnp.dot(dqkv.astype(dtype), wqkv[:].T,
+                  preferred_element_type=jnp.float32)
+    dx = dx1 + _ln_bwd(dh1, c1, inv1, ln1sv)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    dqkvb = dqkv.astype(dtype)
+    dwqkv = jax.lax.dot_general(  # h1^T dqkv
+        h1, dqkvb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwout = jax.lax.dot_general(  # att^T dx1
+        att, dx1.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xhat1 = c1 * inv1
+    vd = jnp.stack([
+        (dh1 * xhat1).sum(0),  # d ln1_scale
+        dh1.sum(0),            # d ln1_bias
+    ])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[:] = dwqkv
+        dwout_ref[:] = dwout
+        vd_ref[:] = vd
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dwqkv_ref[:] += dwqkv
+        dwout_ref[:] += dwout
+        vd_ref[:] += vd
+
+
+def _bwd_split(heads, t_pad, t_valid, attn_sub, res, dy):
+    """Two-pass backward over the stashed (x, qkv, x1) — see FUSED_SPLIT."""
+    x, params, qkv_s, x1_s = res
+    rows_total, d = x.shape
+    f = params.w1.shape[1]
+    dtype = x.dtype
+
+    blk_a = FUSED_FFN_BWD_BLOCK * t_pad
+    while rows_total % blk_a:
+        blk_a //= 2
+    dx1, d_w1, d_w2, vda, vfa = pl.pallas_call(
+        _ffn_bwd_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, d), jnp.float32),  # dx1
+            jax.ShapeDtypeStruct((d, f), jnp.float32),           # dW1
+            jax.ShapeDtypeStruct((f, d), jnp.float32),           # dW2
+            jax.ShapeDtypeStruct((4, d), jnp.float32),           # vector grads
+            jax.ShapeDtypeStruct((1, f), jnp.float32),           # d b1
+        ],
+        grid=(rows_total // blk_a,),
+        in_specs=[
+            _row_spec(blk_a, d),                       # x1 (stashed)
+            _full_spec(*params.ln2_scale.shape), _full_spec(*params.ln2_bias.shape),
+            _full_spec(*params.w1.shape), _full_spec(*params.b1.shape),
+            _full_spec(*params.w2.shape),
+            _row_spec(blk_a, d),                       # dy
+        ],
+        out_specs=[
+            _row_spec(blk_a, d),
+            _full_spec(d, f), _full_spec(f, d),
+            _full_spec(4, d), _full_spec(1, f),
+        ],
+        interpret=INTERPRET,
+    )(x1_s, params.ln2_scale, params.ln2_bias, params.w1, params.b1,
+      params.w2, dy)
+
+    blk_b = FUSED_ATT_BWD_BLOCK * t_pad
+    while rows_total % blk_b:
+        blk_b //= 2
+    dx, d_wqkv, d_wout, vdb = pl.pallas_call(
+        functools.partial(_att_bwd_kernel, heads=heads, t_pad=t_pad,
+                          t_valid=t_valid,
+                          sub_rows=_sub_rows(blk_b, t_pad, attn_sub)),
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, d), dtype),        # dx
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),       # dWqkv
+            jax.ShapeDtypeStruct((d, d), jnp.float32),           # dWout
+            jax.ShapeDtypeStruct((2, d), jnp.float32),           # vector grads
+        ],
+        grid=(rows_total // blk_b,),
+        in_specs=[
+            _row_spec(blk_b, d),                       # x
+            _full_spec(*params.ln1_scale.shape), _full_spec(*params.ln1_bias.shape),
+            _full_spec(*params.w_qkv.shape), _full_spec(*params.w_out.shape),
+            _row_spec(blk_b, 3 * d),                   # qkv (stashed)
+            _row_spec(blk_b, d),                       # dx1
+        ],
+        out_specs=[
+            _row_spec(blk_b, d),
+            _full_spec(d, 3 * d), _full_spec(d, d),
+            _full_spec(2, d),
+        ],
+        interpret=INTERPRET,
+    )(x, params.ln1_scale, params.ln1_bias, params.w_qkv, params.w_out,
+      qkv_s, dx1)
+
+    dparams = EncoderLayerParams(
+        ln1_scale=vdb[0].astype(params.ln1_scale.dtype),
+        ln1_bias=vdb[1].astype(params.ln1_bias.dtype),
+        w_qkv=d_wqkv.astype(params.w_qkv.dtype),
+        w_out=d_wout.astype(params.w_out.dtype),
+        b_out=vda[2].astype(params.b_out.dtype),
+        ln2_scale=vda[0].astype(params.ln2_scale.dtype),
+        ln2_bias=vda[1].astype(params.ln2_bias.dtype),
+        w1=d_w1.astype(params.w1.dtype),
+        b1=vfa[0].astype(params.b1.dtype),
+        w2=d_w2.astype(params.w2.dtype),
+        b2=vda[3].astype(params.b2.dtype),
+    )
+    return dx, dparams
+
+
 def _bwd(heads, t_pad, t_valid, block, bwd_block, attn_sub, stash, res, dy):
+    if res[2] is not None and FUSED_SPLIT:
+        return _bwd_split(heads, t_pad, t_valid, attn_sub, res, dy)
     bwd_block = FUSED_BWD_BLOCK if bwd_block is None else bwd_block
     x, params, qkv_s, x1_s = res
     rows_total, d = x.shape
