@@ -195,8 +195,13 @@ FUSED_STASH = True
 # whole attention forward).  Gradients match the monolithic path to
 # accumulation-order rounding (the dW partial-sum block size changes).
 FUSED_SPLIT = True
-FUSED_FFN_BWD_BLOCK = 8
-FUSED_ATT_BWD_BLOCK = 8
+# round-4 sweep (tools/sweep_fused_encoder.py --split, 8192 pairs t_pad=20,
+# v5e, same-day same-harness): split 16/16 = 172.8 ms vs monolithic
+# stash/block8/bwd4 = 242.9 ms for the 6-layer stack fwd+bwd (1.41x).
+# Grid: 8/8 235.5, 8/16 181.1, 16/8 184.4, 16/16 172.9; 32-pair blocks
+# overflow scoped VMEM in either pass.
+FUSED_FFN_BWD_BLOCK = 16
+FUSED_ATT_BWD_BLOCK = 16
 
 
 def _sub_rows(blk, t_pad, attn_sub):
