@@ -21,6 +21,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache (same dir as bench.py): the tunneled
+# remote-compile service can take minutes per program; warm-cache reruns
+# of this tool are compile-free.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/veto_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - older jax
+    pass
+
 V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 
 

@@ -27,6 +27,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache (same dir as bench.py) — tunneled remote
+# compiles can take minutes; warm reruns of the profiler are compile-free.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/veto_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - older jax
+    pass
+
 
 def fence(tree):
     """Host transfer of one scalar leaf — reliable sync on tunneled TPUs."""
