@@ -109,6 +109,10 @@ def main():
         sub_eff = block if attn_sub is None else min(attn_sub, block)
         if (block % sub_eff) or (args.fwd_only and bwd_block != 4):
             continue
+        # the undifferentiated primal forces stash=False (eval never pays
+        # the stash writes), so fwd-only stash rows would be duplicates
+        if args.fwd_only and stash:
+            continue
         try:
             if args.fwd_only:
                 fn = jax.jit(lambda x: stack(x, params, block, None,

@@ -222,9 +222,17 @@ def fused_encoder_layer(x: jnp.ndarray, params: EncoderLayerParams,
                         block: int = None, bwd_block: int = None,
                         attn_sub: int = None,
                         stash: bool = None) -> jnp.ndarray:
-    """x (P*t_pad, D) → one transformer layer; see module docstring."""
+    """x (P*t_pad, D) → one transformer layer; see module docstring.
+
+    This primal body only runs when the call is NOT being differentiated
+    (under jax.grad the custom_vjp machinery runs ``_fwd`` instead), so it
+    forces ``stash=False``: eval/inference steps skip the qkv/x1 stash
+    writes (4·D bf16 per row per layer — ~1.5 GB/layer at the 2048-pair
+    eval budget) that only the backward consumes.  The y output is
+    bit-identical with or without the stash outputs.
+    """
     return _fwd(x, params, heads, t_pad, t_valid, block, bwd_block,
-                attn_sub, stash)[0]
+                attn_sub, False)[0]
 
 
 def _fwd(x, params, heads, t_pad, t_valid, block, bwd_block=None,
