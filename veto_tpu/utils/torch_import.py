@@ -102,14 +102,14 @@ def detector_param_updates(sd: Dict[str, np.ndarray]) -> Dict[Tuple[str, ...], n
         put(base + ("downsample_bn", "scale"), s)
         put(base + ("downsample_bn", "bias"), b)
 
-    # ---- FPN (reference names indexed by stage 2..5; ours 1..4)
+    # ---- FPN (same 1-indexed names on both sides, fpn.py)
     pat_fpn = re.compile(r"^backbone\.fpn\.fpn_(inner|layer)(\d)\.(weight|bias)$")
     for k in list(sd):
         m = pat_fpn.match(k)
         if not m:
             continue
         kind, idx, wb = m.group(1), int(m.group(2)), m.group(3)
-        name = f"fpn_{kind}{idx - 1}"
+        name = f"fpn_{kind}{idx}"
         if wb == "weight":
             put(("backbone", "fpn", name, "kernel"), _conv(sd[k]))
         else:
@@ -152,6 +152,47 @@ def detector_param_updates(sd: Dict[str, np.ndarray]) -> Dict[Tuple[str, ...], n
             put(dst + ("bias",), sd[f"{src}.bias"])
 
     return out
+
+
+def depth_backbone_param_updates(
+    sd: Dict[str, np.ndarray], src_prefix: str = "depth_backbone.body",
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """Translate the reference depth backbone (ResNetDepth = torchvision
+    resnet18 truncated after layer3, resnet_depth.py:11-46; wrapped as
+    Sequential([('body', ...)]), backbone.py:83-93) into DepthResNet18
+    paths.  Unlike the frozen detector this module trains, so BatchNorm
+    stays live: returns (param_updates, batch_stats_updates)."""
+    p = src_prefix + "."
+    sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    root = ("depth_backbone",)
+
+    def put_bn(src, dst):
+        out[dst + ("scale",)] = np.asarray(sd[f"{src}.weight"], np.float32)
+        out[dst + ("bias",)] = np.asarray(sd[f"{src}.bias"], np.float32)
+        stats[dst + ("mean",)] = np.asarray(
+            sd[f"{src}.running_mean"], np.float32)
+        stats[dst + ("var",)] = np.asarray(
+            sd[f"{src}.running_var"], np.float32)
+
+    out[root + ("conv1", "kernel")] = _conv(sd["conv1.weight"])
+    put_bn("bn1", root + ("bn1",))
+    pat = re.compile(r"^layer(\d)\.(\d+)\.conv(\d)\.weight$")
+    for k in list(sd):
+        m = pat.match(k)
+        if not m:
+            continue
+        layer, block, conv = m.group(1), m.group(2), m.group(3)
+        base = root + (f"layer{layer}_block{block}",)
+        out[base + (f"conv{conv}", "kernel")] = _conv(sd[k])
+        put_bn(f"layer{layer}.{block}.bn{conv}", base + (f"bn{conv}",))
+        ds = f"layer{layer}.{block}.downsample"
+        if conv == "1" and f"{ds}.0.weight" in sd:
+            out[base + ("downsample_conv", "kernel")] = _conv(
+                sd[f"{ds}.0.weight"])
+            put_bn(f"{ds}.1", base + ("downsample_bn",))
+    return out, stats
 
 
 def apply_updates(params, updates: Dict[Tuple[str, ...], np.ndarray], logger=None):
