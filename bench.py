@@ -137,7 +137,27 @@ def _measure_sgdet():
 
 
 def main():
-    # sgdet first: its lines must precede the final predcls line (the one
+    # host loader first (pure-CPU, VERDICT r4 #3): measures the fused-native
+    # input pipeline (tools/bench_loader.py) and prints loader_images_per_sec
+    # lines.  Child + timeout so a wedged IO path can't cost the TPU lines.
+    lbudget = int(os.environ.get("BENCH_LOADER_BUDGET_S", "420"))
+    if lbudget > 0:
+        try:
+            subprocess.run(
+                [sys.executable, "-u",
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_loader.py"),
+                 "--n-images", "96", "--batches", "12", "--workers", "0", "4",
+                 "--no-device"],
+                timeout=lbudget,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# loader bench skipped: exceeded {lbudget}s", flush=True)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"# loader bench failed: {e!r}", flush=True)
+
+    # sgdet next: its lines must precede the final predcls line (the one
     # the driver parses).  A child process + timeout bounds it — neither a
     # crash nor a wedged remote compile can lose the predcls line.
     budget = int(os.environ.get("BENCH_SGDET_BUDGET_S", "1500"))

@@ -425,11 +425,9 @@ def randomize_bn_buffers(model, seed=7):
                     torch.randn(mod.running_mean.shape, generator=g) * 0.5)
                 mod.running_var.copy_(
                     torch.rand(mod.running_var.shape, generator=g) * 2 + 0.5)
-        elif type(mod).__name__ == "FrozenBatchNorm2d":
-            with torch.no_grad():
                 n = mod.weight.shape[0]
-                mod.weight.copy_(torch.rand(n, generator=g) + 0.5)
-                mod.bias.copy_(torch.randn(n, generator=g) * 0.2)
+                mod.weight.data.copy_(torch.rand(n, generator=g) + 0.5)
+                mod.bias.data.copy_(torch.randn(n, generator=g) * 0.2)
 
 
 def build_reference_model(mode="predcls", seed=11):

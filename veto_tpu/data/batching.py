@@ -29,16 +29,25 @@ def make_sgg_batch(
     image_shape: tuple,
     max_boxes: int,
     num_obj_classes: int = 151,
+    pixel_arrays=None,
 ) -> SGGBatch:
     """Assemble a batch from per-image record dicts.
 
     Each record: image (H, W, 3) float32, depth (H, W, 1) float32,
     boxes (n, 4), labels (n,), rel_matrix (n, n), size (2,) = (w, h).
+
+    ``pixel_arrays``: optional (images, depth) preallocated (B, H, W, C)
+    arrays already filled by the loader's fused native path — the
+    per-image pixel copies are skipped (records then carry no
+    image/depth).
     """
     b = len(records)
     h, w = image_shape
-    images = np.zeros((b, h, w, 3), np.float32)
-    depth = np.zeros((b, h, w, 1), np.float32)
+    if pixel_arrays is not None:
+        images, depth = pixel_arrays
+    else:
+        images = np.zeros((b, h, w, 3), np.float32)
+        depth = np.zeros((b, h, w, 1), np.float32)
     boxes = np.zeros((b, max_boxes, 4), np.float32)
     box_mask = np.zeros((b, max_boxes), bool)
     labels = np.zeros((b, max_boxes), np.int32)
@@ -47,11 +56,12 @@ def make_sgg_batch(
     attributes = np.zeros((b, max_boxes, 10), np.int32)
 
     for i, rec in enumerate(records):
-        img = rec["image"]
-        ih, iw = img.shape[:2]
-        images[i, :ih, :iw] = img
-        if rec.get("depth") is not None:
-            depth[i, :ih, :iw] = rec["depth"]
+        if pixel_arrays is None:
+            img = rec["image"]
+            ih, iw = img.shape[:2]
+            images[i, :ih, :iw] = img
+            if rec.get("depth") is not None:
+                depth[i, :ih, :iw] = rec["depth"]
         n = min(len(rec["boxes"]), max_boxes)
         boxes[i, :n] = rec["boxes"][:n]
         box_mask[i, :n] = True

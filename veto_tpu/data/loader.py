@@ -200,6 +200,89 @@ class SGGLoader:
                 rec, fut = pending.popleft()
                 yield finish_record(rec, fut.result())
 
+    # ------------------------------------------------------------------
+    # fused-native fast path: workers decode + resize/normalize/pad
+    # straight into preallocated batch arrays (one C++ call per image —
+    # no [0,1] conversion, no normalize pass, no pad copy, no batch copy)
+    # ------------------------------------------------------------------
+    def _fast_capable(self) -> bool:
+        from veto_tpu import native
+
+        return (
+            self.num_workers > 0
+            and native.available()
+            and hasattr(self.dataset, "load_image_raw")
+            and hasattr(self.dataset, "image_size")
+        )
+
+    def _fast_batches(self, idx_iter) -> Iterator[Tuple[SGGBatch, list]]:
+        """Batch stream over the fused path.
+
+        Aspect routing uses the dataset's size metadata (img_info, like
+        the reference GroupedBatchSampler) so no decode happens on the
+        main thread; GT assembly (sequential RNG) stays here in index
+        order, preserving determinism across worker counts.  Pixel
+        numerics match the NumPy path to float rounding (the fused kernel
+        skips the exact /255·x255 cancellation the slow path computes).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from veto_tpu import native
+
+        ds = self.dataset
+        mean, std = self.pixel_mean, self.pixel_std
+        use_depth = self.use_depth
+        bsz = self.batch_size
+
+        def task(inner, oh, ow, img_slot, depth_slot):
+            raw = ds.load_image_raw(inner)
+            native.resize_normalize_u8_into(raw, oh, ow, img_slot, mean, std)
+            if use_depth:
+                d = ds.load_depth(inner)
+                if d is None:
+                    depth_slot[:] = 0.0
+                else:
+                    native.resize_standardize_into(d, oh, ow, depth_slot)
+            else:
+                depth_slot[:] = 0.0
+
+        open_bufs: Dict[bool, dict] = {}
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            for i in idx_iter:
+                i = int(i)
+                inner = ds.idx_list[i] if hasattr(ds, "idx_list") else i
+                w0, h0 = ds.image_size(inner)
+                oh, ow = resize_shape(w0, h0, self.min_size, self.max_size)
+                key = oh > ow
+                buf = open_bufs.get(key)
+                if buf is None:
+                    ph, pw = self.pad_shapes["portrait" if key else "landscape"]
+                    buf = open_bufs[key] = dict(
+                        images=np.empty((bsz, ph, pw, 3), np.float32),
+                        depth=np.empty((bsz, ph, pw, 1), np.float32),
+                        recs=[], futs=[],
+                    )
+                slot = len(buf["recs"])
+                rec = dict(ds.get_groundtruth(i, inner_idx=False))
+                sy, sx = oh / h0, ow / w0
+                rec["boxes"] = rec["boxes"] * np.array(
+                    [sx, sy, sx, sy], np.float32)
+                rec["size"] = np.array([ow, oh], np.int32)
+                buf["recs"].append(rec)
+                buf["futs"].append(ex.submit(
+                    task, inner, oh, ow,
+                    buf["images"][slot], buf["depth"][slot],
+                ))
+                if len(buf["recs"]) == bsz:
+                    del open_bufs[key]
+                    for f in buf["futs"]:
+                        f.result()
+                    yield make_sgg_batch(
+                        buf["recs"], buf["images"].shape[1:3],
+                        self.max_boxes, self.num_obj_classes,
+                        pixel_arrays=(buf["images"], buf["depth"]),
+                    ), buf["recs"]
+
     def _assemble(self, records) -> SGGBatch:
         aspects = {r["image"].shape[0] > r["image"].shape[1] for r in records}
         if len(aspects) == 1:
@@ -251,6 +334,14 @@ class SGGLoader:
                 for index in self._indices(e):
                     yield int(index)
                 e += 1
+
+        if self._fast_capable():
+            for batch, recs in self._fast_batches(index_stream()):
+                yield batch, recs
+                it += 1
+                if it >= max_iter:
+                    return
+            return
 
         stream = self._stream_records(index_stream())
         while it < max_iter:

@@ -281,6 +281,20 @@ class VGDataset:
         img = Image.open(path).convert("RGB")
         return np.asarray(img, np.float32) / 255.0
 
+    def load_image_raw(self, index: int) -> np.ndarray:
+        """RGB uint8 (H, W, 3) — the fused native loader path consumes raw
+        bytes (resize is linear, so /255·x255 cancels; data/loader.py)."""
+        from PIL import Image
+
+        path = os.path.join(self.img_dir, f"{self.img_info[index]['image_id']}.jpg")
+        return np.asarray(Image.open(path).convert("RGB"))
+
+    def image_size(self, index: int):
+        """(width, height) from img_info metadata — aspect routing without
+        a decode (reference GroupedBatchSampler reads the same metadata)."""
+        info = self.img_info[index]
+        return info["width"], info["height"]
+
     def load_depth(self, index: int) -> Optional[np.ndarray]:
         """Raw depth PNG `{id}-depth_raw.png` → (H, W, 1) float32
         (reference :122,518)."""

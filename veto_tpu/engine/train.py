@@ -352,8 +352,13 @@ def make_eval_step(model, max_pairs: int = 2048, mode: str = "predcls",
         relness = out.relness_logits
         if relness is not None:
             relness = jax.nn.sigmoid(relness.astype(jnp.float32))
+        # the post-processor consumes the proposals' predict_logits (±1000
+        # GT injection in predcls, frozen box-head logits in sgcls) — the
+        # predictor's refined obj_dists are discarded at eval because
+        # OBJECT_CLASSIFICATION_REFINE is False in every shipped config
+        # (relation_head.py:236-245, defaults.py:527)
         return jax.vmap(postprocess_relations)(
-            out.rel_logits, out.obj_dists, pair_idx, pair_mask, relness
+            out.rel_logits, out.predict_logits, pair_idx, pair_mask, relness
         )
 
     return eval_step
@@ -411,12 +416,15 @@ def make_meet_eval_step(
                 train=False, method="relate",
             )
             glogits = out.group_logits
+            # eval re-NMS runs on the frozen box-head predict_logits
+            # (OBJECT_CLASSIFICATION_REFINE=False, relation_head.py:236-245)
             obj_labels = jax.vmap(
                 lambda b, lg, m: obj_prediction_nms(
                     b, lg, later_nms_thres, valid_mask=m
                 )
-            )(dets.boxes_per_cls, out.obj_dists, dets.mask)
-            obj_prob = jax.nn.softmax(out.obj_dists.astype(jnp.float32), -1)
+            )(dets.boxes_per_cls, det.predict_logits, dets.mask)
+            obj_prob = jax.nn.softmax(
+                det.predict_logits.astype(jnp.float32), -1)
             obj_prob = obj_prob.at[..., 0].set(0.0)
             obj_scores = jnp.take_along_axis(
                 obj_prob, obj_labels[..., None], axis=-1
@@ -439,7 +447,10 @@ def make_meet_eval_step(
                 batch.box_mask, batch.labels, batch.obj_logits,
                 pair_idx, pair_mask, train=False,
             )
-            out_obj = jax.nn.softmax(fwd.obj_dists.astype(jnp.float32), -1)
+            # predict_logits, not the predictor's obj_dists
+            # (relation_head.py:236-245)
+            out_obj = jax.nn.softmax(
+                fwd.predict_logits.astype(jnp.float32), -1)
             out_obj = out_obj.at[..., 0].set(0.0)
             obj_scores = jnp.max(out_obj[..., 1:], axis=-1)
             obj_labels = (jnp.argmax(out_obj[..., 1:], axis=-1) + 1).astype(jnp.int32)
@@ -598,12 +609,15 @@ def make_sgdet_eval_step(
             image_sizes=sizes, boxes_per_cls=dets.boxes_per_cls,
             pred_labels=dets.labels,
         )
+        # the sgdet re-NMS consumes the detector's raw predict_logits on
+        # the kept detections (OBJECT_CLASSIFICATION_REFINE=False,
+        # relation_head.py:236-245), not the predictor's one-hot obj_dists
         return jax.vmap(
             lambda rl, od, pi, pm, bpc, dm: postprocess_relations_sgdet(
                 rl, od, pi, pm, bpc, dm, later_nms_thres=later_nms_thres
             )
         )(
-            _rel_out(out), out.obj_dists, pair_idx, pair_mask,
+            _rel_out(out), det.predict_logits, pair_idx, pair_mask,
             dets.boxes_per_cls, dets.mask,
         )
 

@@ -140,6 +140,8 @@ class MeetPredictor(nn.Module):
             )
             for e in range(self.experts_per_group)
         )
+        # 0/1 one-hot (reference predictor parity; the eval post-processor
+        # reads predict_logits instead — relation_head.py:236-238)
         obj_dists = jax.nn.one_hot(
             obj_labels, self.num_obj_classes, dtype=jnp.float32
         )

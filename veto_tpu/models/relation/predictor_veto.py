@@ -263,6 +263,11 @@ class VetoPredictor(nn.Module):
             self.num_rel_classes, dtype=jnp.float32,
             kernel_init=nn.initializers.xavier_uniform(), name="rel_out",
         )(rel_feat)
+        # 0/1 one-hot, exactly the reference predictor's obj_dists
+        # (roi_relation_predictors.py:4089-4094) — consumed only by the
+        # degenerate obj-refine loss; the eval post-processor reads the
+        # proposals' predict_logits instead (OBJECT_CLASSIFICATION_REFINE
+        # is False in every shipped config, relation_head.py:236-238)
         obj_dists = jax.nn.one_hot(
             obj_labels, self.num_obj_classes, dtype=jnp.float32
         )

@@ -586,8 +586,12 @@ class SGGModel(nn.Module):
             )(tiled, predict_logits, box_mask)
             rel_labels_in = pred_labels
         else:
-            predict_logits = jax.nn.one_hot(
-                obj_labels, self.num_obj_classes, dtype=jnp.float32
+            # ±1000 GT-logit injection (to_onehot fill — relation_head.py
+            # :104-111) so eval softmax obj_scores are exactly 1.0
+            predict_logits = (
+                jax.nn.one_hot(
+                    obj_labels, self.num_obj_classes, dtype=jnp.float32
+                ) * 2000.0 - 1000.0
             )
             pred_labels = obj_labels
             rel_labels_in = obj_labels

@@ -69,6 +69,16 @@ def _load() -> Optional[ctypes.CDLL]:
             f32p, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, ctypes.c_int,
         ]
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        lib.resize_normalize_u8_pad.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, ctypes.c_int,
+        ]
+        lib.resize_standardize_pad.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -123,3 +133,50 @@ def standardize_pad(depth: np.ndarray, ph: int, pw: int) -> Optional[np.ndarray]
     dst = np.empty((ph, pw), np.float32)
     lib.standardize_pad(_fptr(src), h, w, _fptr(dst), ph, pw)
     return dst[..., None]
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+
+
+def resize_normalize_u8_into(
+    image_u8: np.ndarray, oh: int, ow: int, dst: np.ndarray,
+    mean, std, to_bgr255: bool = True,
+) -> bool:
+    """Fused loader fast path: u8 RGB (H, W, 3) → resize (PIL BILINEAR)
+    → BGR255-normalize → write into the (ph, pw, 3) float32 ``dst`` slot
+    (zero-padded).  Exact vs the [0,1]-float pipeline (resize is linear so
+    the /255·x255 pair cancels).  Returns False if the native lib is
+    unavailable (caller falls back to the NumPy path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    src = np.ascontiguousarray(image_u8, dtype=np.uint8)
+    h, w, _ = src.shape
+    assert dst.dtype == np.float32 and dst.flags.c_contiguous
+    ph, pw, _ = dst.shape
+    m = np.ascontiguousarray(mean, np.float32)
+    s = np.ascontiguousarray(std, np.float32)
+    lib.resize_normalize_u8_pad(
+        _u8ptr(src), h, w, _fptr(dst), oh, ow, ph, pw, _fptr(m), _fptr(s),
+        1 if to_bgr255 else 0,
+    )
+    return True
+
+
+def resize_standardize_into(
+    depth: np.ndarray, oh: int, ow: int, dst: np.ndarray,
+) -> bool:
+    """Fused depth path: (H, W[, 1]) float32 → resize → per-image
+    standardize (of the resized map) → (ph, pw[, 1]) ``dst`` slot."""
+    lib = _load()
+    if lib is None:
+        return False
+    src = depth[..., 0] if depth.ndim == 3 else depth
+    src = np.ascontiguousarray(src, dtype=np.float32)
+    h, w = src.shape
+    d2 = dst[..., 0] if dst.ndim == 3 else dst
+    assert d2.dtype == np.float32 and d2.flags.c_contiguous
+    ph, pw = d2.shape
+    lib.resize_standardize_pad(_fptr(src), h, w, _fptr(d2), oh, ow, ph, pw)
+    return True
