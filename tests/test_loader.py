@@ -95,3 +95,55 @@ def test_aspect_buckets_not_mixed_in_train_batches():
     for batch, recs in _loader(_MiniDataset(n=12), 2).iterations(4):
         aspects = {r["image"].shape[0] > r["image"].shape[1] for r in recs}
         assert len(aspects) == 1
+
+
+class _RawMiniDataset(_MiniDataset):
+    """_MiniDataset + the raw-u8/metadata protocol that enables the fused
+    native fast path (load_image_raw/image_size, data/loader.py)."""
+
+    def load_image_raw(self, index):
+        return (self._images[index] * 255).astype(np.uint8)
+
+    def load_image(self, index):
+        # match VGDataset's contract: the u8 bytes scaled to [0,1], so the
+        # slow path sees exactly what the fast path's u8 input encodes
+        return self.load_image_raw(index).astype(np.float32) / 255.0
+
+    def load_depth(self, index):
+        h, w = self._images[index].shape[:2]
+        rng = np.random.RandomState(100 + index)
+        return rng.rand(h, w, 1).astype(np.float32)
+
+    def image_size(self, index):
+        info = self.img_info[index]
+        return info["width"], info["height"]
+
+
+def test_fused_fast_path_matches_slow_path():
+    """The fused C++ path (decode→resize→normalize→pad in one call) must
+    reproduce the NumPy pipeline: non-pixel fields exactly, pixels to float
+    rounding (the fused kernel skips the /255·x255 cancellation)."""
+    from veto_tpu import native
+
+    if not native.available():
+        pytest.skip("native host ops unavailable")
+
+    def mk(workers):
+        return SGGLoader(
+            _RawMiniDataset(), batch_size=2, max_boxes=8, num_obj_classes=7,
+            min_size=48, max_size=80, use_depth=True, shuffle=True, seed=5,
+            size_divisibility=16, num_workers=workers,
+        )
+
+    assert mk(4)._fast_capable() and not mk(0)._fast_capable()
+    slow = [b for b, _ in mk(0).iterations(5)]
+    fast = [b for b, _ in mk(4).iterations(5)]
+    for s, f in zip(slow, fast):
+        np.testing.assert_allclose(f.images, s.images, atol=2e-3)
+        np.testing.assert_allclose(f.depth, s.depth, atol=1e-4)
+        for field in ("boxes", "box_mask", "labels", "rel_matrix", "sizes",
+                      "obj_logits"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(f, field)), np.asarray(getattr(s, field)),
+                err_msg=field,
+            )
