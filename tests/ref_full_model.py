@@ -484,6 +484,31 @@ def run_reference(mode="predcls", seed=11, input_seed=5, width=480,
     model, cfg = build_reference_model(mode, seed)
     images, depth_images, target, raw = make_inputs(
         input_seed, width, height, n_boxes)
+
+    # stage taps for the parity test's divergence bisect
+    inter = {}
+
+    def tap(name, transform=None):
+        def hook(mod, args, out):
+            v = transform(out) if transform else out
+            if isinstance(v, torch.Tensor):
+                inter[name] = v.detach().numpy()
+            elif isinstance(v, (list, tuple)):
+                inter[name] = [x.detach().numpy() for x in v
+                               if isinstance(x, torch.Tensor)]
+        return hook
+
+    model.backbone.register_forward_hook(tap("fpn"))
+    if getattr(model, "depth_backbone", None) is not None:
+        model.depth_backbone.register_forward_hook(tap("depth_feat"))
+    rel = getattr(model.roi_heads, "relation", None)
+    if rel is not None:
+        rel.box_feature_extractor.register_forward_hook(
+            tap("rel_pool", lambda out: [out[0], out[1]]))
+        rel.predictor.register_forward_hook(
+            tap("predictor", lambda out: [out[1][0], out[0][0]]
+                if out[1] is not None else []))
+
     with torch.no_grad():
         (result,) = model(images, targets=[target],
                           depth_images=depth_images)
@@ -497,7 +522,8 @@ def run_reference(mode="predcls", seed=11, input_seed=5, width=480,
             fields[f] = v.detach().numpy()
     sd = {k: v.detach().cpu().numpy()
           for k, v in model.state_dict().items()}
-    return dict(mode=mode, fields=fields, state_dict=sd, raw=raw)
+    return dict(mode=mode, fields=fields, state_dict=sd, raw=raw,
+                intermediates=inter)
 
 
 def main():
