@@ -221,15 +221,17 @@ def fused_encoder_layer(x: jnp.ndarray, params: EncoderLayerParams,
                         heads: int, t_pad: int, t_valid: int,
                         block: int = None, bwd_block: int = None,
                         attn_sub: int = None,
-                        stash: bool = None) -> jnp.ndarray:
+                        bwd_stash: bool = None) -> jnp.ndarray:
     """x (P*t_pad, D) → one transformer layer; see module docstring.
 
-    This primal body only runs when the call is NOT being differentiated
-    (under jax.grad the custom_vjp machinery runs ``_fwd`` instead), so it
-    forces ``stash=False``: eval/inference steps skip the qkv/x1 stash
-    writes (4·D bf16 per row per layer — ~1.5 GB/layer at the 2048-pair
-    eval budget) that only the backward consumes.  The y output is
-    bit-identical with or without the stash outputs.
+    ``bwd_stash`` (renamed from ``stash`` — the name states the contract)
+    only affects DIFFERENTIATED calls: this primal body runs when the call
+    is NOT being differentiated (under jax.grad the custom_vjp machinery
+    runs ``_fwd`` instead), and it always passes stash=False — eval/
+    inference steps skip the qkv/x1 stash writes (4·D bf16 per row per
+    layer — ~1.5 GB/layer at the 2048-pair eval budget) that only the
+    backward consumes.  The y output is bit-identical either way, so a
+    forward-only caller cannot observe the flag.
     """
     return _fwd(x, params, heads, t_pad, t_valid, block, bwd_block,
                 attn_sub, False)[0]
