@@ -526,6 +526,54 @@ def run_reference(mode="predcls", seed=11, input_seed=5, width=480,
                 intermediates=inter)
 
 
+def run_reference_batch(mode, images_pkl, ckpt=None, seed=11):
+    """tools/parity_vs_reference.py phase A: run the reference model over a
+    PREPARED image list (normalized CHW tensors + GT), optionally with a
+    real training checkpoint loaded (strict=False after 'module.' strip —
+    the DetectronCheckpointer load for a full relation checkpoint,
+    utils/checkpoint.py:34-79)."""
+    import torch
+
+    from pysgg.structures.bounding_box import BoxList
+    from pysgg.structures.image_list import ImageList
+
+    model, cfg = build_reference_model(mode, seed)
+    if ckpt:
+        blob = torch.load(ckpt, map_location="cpu", weights_only=False)
+        sd_in = blob.get("model", blob.get("state_dict", blob))
+        sd_in = {k[len("module."):] if k.startswith("module.") else k: v
+                 for k, v in sd_in.items()}
+        missing, unexpected = model.load_state_dict(sd_in, strict=False)
+        print(f"ckpt load: {len(missing)} missing, "
+              f"{len(unexpected)} unexpected", flush=True)
+
+    with open(images_pkl, "rb") as fh:
+        items = pickle.load(fh)
+
+    per_image = []
+    for item in items:
+        img = torch.from_numpy(item["image"])[None]         # (1, 3, H, W)
+        dep = torch.from_numpy(item["depth"])[None]         # (1, 1, H, W)
+        h, w = img.shape[2:]
+        images = ImageList(img, [(h, w)])
+        depth_images = ImageList(dep, [(h, w)])
+        target = BoxList(torch.from_numpy(item["boxes"]), (w, h), "xyxy")
+        target.add_field("labels", torch.from_numpy(
+            np.asarray(item["labels"], np.int64)))
+        with torch.no_grad():
+            (result,) = model(images, targets=[target],
+                              depth_images=depth_images)
+        fields = {"boxes": result.bbox.numpy()}
+        for f in result.fields():
+            v = result.get_field(f)
+            if hasattr(v, "numpy"):
+                fields[f] = v.detach().numpy()
+        per_image.append(fields)
+
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    return dict(mode=mode, per_image=per_image, state_dict=sd)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="predcls",
@@ -536,14 +584,23 @@ def main():
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--n-boxes", type=int, default=6)
+    ap.add_argument("--from-batch", default="",
+                    help="prepared image-list pkl (parity_vs_reference.py)")
+    ap.add_argument("--ckpt", default="",
+                    help="reference training checkpoint (.pth) to load")
     args = ap.parse_args()
 
     install_stubs()
-    out = run_reference(args.mode, args.seed, args.input_seed, args.width,
-                        args.height, args.n_boxes)
+    if args.from_batch:
+        out = run_reference_batch(args.mode, args.from_batch,
+                                  ckpt=args.ckpt or None, seed=args.seed)
+    else:
+        out = run_reference(args.mode, args.seed, args.input_seed,
+                            args.width, args.height, args.n_boxes)
     with open(args.out, "wb") as fh:
         pickle.dump(out, fh)
-    print(f"wrote {args.out}: {sorted(out['fields'])}")
+    keys = sorted(out.get("fields", out.get("per_image", [{}])[0]))
+    print(f"wrote {args.out}: {keys}")
 
 
 if __name__ == "__main__":

@@ -431,6 +431,40 @@ def load_ref_keypoint_head():
     return loss, inf
 
 
+def load_ref_retrieval_v1():
+    """The REAL image_retrieval/model.py (v1 fc-fusion SGEncode).
+
+    The file's module level drags in the full training stack (data loaders,
+    solver, engine, checkpointing — none touched by the model classes), so
+    those imports are stubbed; torch math + the real smooth_l1_loss run
+    unmodified."""
+    name = "pysgg.image_retrieval.model"
+    mod = sys.modules.get(name)
+    if mod is not None and hasattr(mod, "SGEncode"):
+        return mod
+    smooth = _exec_ref_file("pysgg/layers/smooth_l1_loss.py",
+                            "pysgg.layers.smooth_l1_loss")
+    _stub("pysgg.layers", smooth_l1_loss=smooth.smooth_l1_loss)
+    _stub("pysgg.utils.env", setup_environment=None)
+    _stub("pysgg.config", cfg=_AttrDict())
+    _stub("pysgg.data", make_data_loader=None)
+    _stub("pysgg.solver", make_lr_scheduler=None, make_optimizer=None)
+    _stub("pysgg.engine.trainer", reduce_loss_dict=None)
+    _stub("pysgg.engine.inference", inference=None)
+    _stub("pysgg.modeling.detector", build_detection_model=None)
+    _stub("pysgg.utils.checkpoint", DetectronCheckpointer=None,
+          clip_grad_norm=None)
+    _stub("pysgg.utils.collect_env", collect_env_info=None)
+    _stub("pysgg.utils.comm", synchronize=None, get_rank=lambda: 0,
+          all_gather=None)
+    _stub("pysgg.utils.imports", import_file=None)
+    _stub("pysgg.utils.logger", setup_logger=None, debug_print=None)
+    _stub("pysgg.utils.miscellaneous", mkdir=None, save_config=None)
+    _stub("pysgg.utils.metric_logger", MetricLogger=None)
+    _stub("tqdm", tqdm=lambda x, **k: x)
+    return _exec_ref_file("pysgg/image_retrieval/model.py", name)
+
+
 def load_ref_fbnet():
     """The REAL fbnet_builder.py + fbnet_modeldef.py (torch).
 

@@ -145,6 +145,11 @@ def main():
     parser.add_argument("--r-max", type=int, default=32)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--output", default="./output_retrieval")
+    parser.add_argument(
+        "--model-version", default="v2", choices=["v1", "v2"],
+        help="v2 = modelv2.py SGEncode (what the reference tool runs); "
+             "v1 = model.py fc-fusion/BiAttention variant "
+             "(retrieval/model_v1.py)")
     args = parser.parse_args()
 
     if args.preprocess:
@@ -152,6 +157,8 @@ def main():
         return
 
     from veto_tpu.retrieval.model import SGEncode, retrieval_recall, triplet_loss
+    if args.model_version == "v1":
+        from veto_tpu.retrieval.model_v1 import SGEncodeV1 as SGEncode  # noqa: F811
     from veto_tpu.utils.logger import setup_logger
 
     os.makedirs(args.output, exist_ok=True)

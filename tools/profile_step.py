@@ -114,6 +114,71 @@ def profile_sgdet(args, hw):
     out["box_head_1000_ms"] = timed(boxlogits, variables, feats, rois,
                                     steps=args.steps) * 1e3
 
+    # finer cascade fences: RPN head convs + proposal selection (top-k →
+    # decode → per-level NMS → cross-level top-1000), and the 151-class box
+    # postprocess (decode + per-class NMS + NMS_FILTER_DUPLICATES + top-80)
+    import numpy as _np
+
+    from veto_tpu.models.detector.anchors import fpn_anchors
+    from veto_tpu.models.detector.box_head import box_postprocess
+    from veto_tpu.models.detector.rpn import (
+        flatten_level, rpn_select_proposals,
+    )
+
+    h, w = batch.images.shape[1:3]
+    anchor_list = fpn_anchors((h, w), model.anchor_sizes,
+                              model.anchor_strides, model.aspect_ratios)
+    anchors = tuple(jnp.asarray(a) for a, _ in anchor_list)
+
+    def rpn_heads_only(v, f):
+        obj, reg = model.apply(v, f, method=lambda m, ff: m.rpn(ff))
+        return [o.astype(jnp.float32) for o in obj]
+
+    rpn_maps = jax.jit(lambda v, f: model.apply(
+        v, f, method=lambda m, ff: m.rpn(ff)))
+    obj_maps, reg_maps = rpn_maps(variables, feats)
+    obj_maps = jax.tree.map(lambda x: x.astype(jnp.float32), obj_maps)
+    reg_maps = jax.tree.map(lambda x: x.astype(jnp.float32), reg_maps)
+
+    def propose(obj_maps, reg_maps, sizes):
+        def one(obj_b, reg_b, size):
+            flat = [flatten_level(o, r) for o, r in zip(obj_b, reg_b)]
+            return rpn_select_proposals(
+                [f[0] for f in flat], [f[1] for f in flat], anchors, size,
+                model.rpn_pre_nms_top_n, model.rpn_post_nms_top_n,
+                model.rpn_nms_thresh, model.rpn_fpn_post_nms_top_n,
+                model.rpn_min_size,
+            )
+        return jax.vmap(one)(obj_maps, reg_maps, sizes)
+
+    jpropose = jax.jit(propose)
+    sizes_f = batch.sizes.astype(jnp.float32)
+    proposals = jpropose(obj_maps, reg_maps, sizes_f)
+    out["rpn_heads_ms"] = timed(jax.jit(rpn_heads_only), variables, feats,
+                                steps=args.steps) * 1e3
+    out["rpn_propose_ms"] = timed(jpropose, obj_maps, reg_maps, sizes_f,
+                                  steps=args.steps) * 1e3
+
+    logits, deltas = jax.jit(lambda v, f, bx: model.apply(
+        v, f, bx, method=lambda m, ff, bb: m._box_logits(ff, bb)))(
+        variables, feats, proposals.boxes)
+
+    def postproc(lg, dl, bx, mk, sz):
+        return jax.vmap(
+            lambda a, b, c, d, e: box_postprocess(
+                a, b, c, d, e,
+                score_thresh=model.box_score_thresh,
+                nms_thresh=model.box_nms_thresh,
+                post_nms_per_cls_topn=model.box_post_nms_per_cls_topn,
+                nms_filter_duplicates=model.nms_filter_duplicates,
+                detections_per_img=model.detections_per_img,
+            )
+        )(lg, dl, bx, mk, sz)
+
+    out["box_postprocess_ms"] = timed(
+        jax.jit(postproc), logits, deltas, proposals.boxes, proposals.mask,
+        sizes_f, steps=args.steps) * 1e3
+
     eval_step = jax.jit(make_sgdet_eval_step(model, max_pairs=2048))
     for _ in range(2):
         sp = eval_step(state, batch)

@@ -345,6 +345,9 @@ class ResNetFPNBackbone(nn.Module):
     fpn_channels: int = 256
     fold_bn: bool = False
     stem_s2d: bool = True
+    # the shipped VETO config sets RESNETS.STRIDE_IN_1X1 False
+    # (VETO_final.yaml:12 — stride lives in the 3x3, torchvision style)
+    stride_in_1x1: bool = False
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     dcn_modulated: bool = True
     dcn_deformable_groups: int = 1
@@ -360,6 +363,7 @@ class ResNetFPNBackbone(nn.Module):
             width_per_group=self.width_per_group,
             fold_bn=self.fold_bn,
             stem_s2d=self.stem_s2d,
+            stride_in_1x1=self.stride_in_1x1,
             stage_with_dcn=self.stage_with_dcn,
             dcn_modulated=self.dcn_modulated,
             dcn_deformable_groups=self.dcn_deformable_groups,

@@ -82,6 +82,9 @@ class SGGModel(nn.Module):
     stage_blocks: Tuple[int, ...] = (3, 4, 23, 3)
     groups: int = 32
     width_per_group: int = 8
+    # RESNETS.STRIDE_IN_1X1 — False in the shipped config
+    # (VETO_final.yaml:12; reference defaults.py legacy default is True)
+    stride_in_1x1: bool = False
     fpn_channels: int = 256
     # RPN (configs/VETO_final.yaml:17-29)
     anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
@@ -186,7 +189,8 @@ class SGGModel(nn.Module):
             self.backbone = ResNetFPNBackbone(
                 stage_blocks=self.stage_blocks, groups=self.groups,
                 width_per_group=self.width_per_group, fpn_channels=self.fpn_channels,
-                fold_bn=self.fold_bn, stage_with_dcn=self.stage_with_dcn,
+                fold_bn=self.fold_bn, stride_in_1x1=self.stride_in_1x1,
+                stage_with_dcn=self.stage_with_dcn,
                 dcn_modulated=self.dcn_modulated,
                 dcn_deformable_groups=self.dcn_deformable_groups,
                 dtype=self.dtype,

@@ -103,9 +103,14 @@ class SGEncode(nn.Module):
         return nn.relu(nn.Dense(self.final_dim, dtype=self.dtype, name="final_fc2")(x))
 
 
-def _smooth_l1_sum(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _smooth_l1_sum(a: jnp.ndarray, b: jnp.ndarray,
+                   beta: float = 1.0 / 9.0) -> jnp.ndarray:
+    """The reference's smooth_l1_loss with its shipped defaults — beta=1/9,
+    MEAN reduction (pysgg/layers/smooth_l1_loss.py:6-16).  (Historical
+    name: an earlier revision summed with beta=1, which is NOT what the
+    retrieval loss computes.)"""
     d = jnp.abs(a - b)
-    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5).sum(-1)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta).mean(-1)
 
 
 def triplet_loss(
@@ -113,8 +118,10 @@ def triplet_loss(
     bg_img: jnp.ndarray, bg_txt: jnp.ndarray,
     margin: float = 1.0,
 ) -> jnp.ndarray:
-    """SGEncode.forward training loss (modelv2.py:170-189): two hinge terms
-    pulling matched (img, txt) encodings together against the backgrounds."""
+    """SGEncode.forward training loss (modelv2.py:169-189): two hinge terms
+    pulling matched (img, txt) encodings together against the backgrounds.
+    The reference sums per-pair terms over the batch list; the batch MEAN
+    here only rescales the gradient."""
     fg = jnp.maximum(_smooth_l1_sum(fg_img, fg_txt) + margin
                      - _smooth_l1_sum(fg_img, bg_txt), 0.0)
     bg = jnp.maximum(_smooth_l1_sum(bg_txt, bg_img) + margin
