@@ -117,21 +117,38 @@ def _make_batch(raw, num_obj, max_boxes=None):
 
 
 def _init_variables(model, batch):
+    """Full param tree via init_all on a TINY dummy image — every param
+    shape is image-size independent, and tracing the detect cascade at the
+    real resolution costs minutes of eager CPU."""
     pair_idx = jnp.zeros((1, 4, 2), jnp.int32)
     pair_mask = jnp.ones((1, 4), bool)
+    # 256x256: small enough to trace fast, large enough that the anchor
+    # counts still exceed the 6000/1000 RPN budgets
+    img = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    dep = jnp.zeros((1, 256, 256, 1), jnp.float32)
+    n = batch.boxes.shape[1]
+    boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 16.0, 16.0]]), (n, 1))[None]
     return model.init(
-        jax.random.PRNGKey(0), batch.images, batch.depth, batch.boxes,
+        jax.random.PRNGKey(0), img, dep, boxes,
         batch.box_mask, batch.labels, batch.obj_logits, pair_idx, pair_mask,
         method="init_all",
     )
 
 
-class _State:
-    """Duck-typed TrainState carrier for the eval steps."""
+from typing import Any, NamedTuple
 
-    def __init__(self, variables):
-        self.params = variables["params"]
-        self.batch_stats = variables.get("batch_stats", {})
+
+class _StateTuple(NamedTuple):
+    """Duck-typed TrainState carrier for the eval steps (a pytree so the
+    steps can be jitted)."""
+
+    params: Any
+    batch_stats: Any
+
+
+def _State(variables):
+    return _StateTuple(variables["params"],
+                       variables.get("batch_stats", {}))
 
 
 def test_whole_model_predcls_parity():
@@ -147,7 +164,7 @@ def test_whole_model_predcls_parity():
     variables = _init_variables(model, batch)
     variables = _import_all_weights(variables, sd)
 
-    step = make_eval_step(model, max_pairs=n_pairs)
+    step = jax.jit(make_eval_step(model, max_pairs=n_pairs))
     pred = jax.tree.map(np.asarray, step(_State(variables), batch))
     # single image in the batch
     pred = jax.tree.map(lambda x: x[0], pred)
@@ -174,7 +191,8 @@ def test_whole_model_sgdet_parity():
     variables = _init_variables(model, batch)
     variables = _import_all_weights(variables, sd)
 
-    step = make_sgdet_eval_step(model, max_pairs=2048, later_nms_thres=0.5)
+    step = jax.jit(make_sgdet_eval_step(model, max_pairs=2048,
+                                        later_nms_thres=0.5))
     pred = jax.tree.map(np.asarray, step(_State(variables), batch))
     pred = jax.tree.map(lambda x: x[0], pred)
 
