@@ -180,3 +180,25 @@ def test_blockwise_matches_sequential_rpn_scale(rng):
     np.testing.assert_array_equal(
         np.asarray(got_i)[np.asarray(got_ok)],
         np.asarray(ref_i)[np.asarray(ref_ok)])
+
+
+@pytest.mark.parametrize("max_out", [32, 1000])
+def test_early_exit_is_exact(rng, max_out):
+    """The opt-in while_loop early exit (stop when the active prefix is
+    exhausted or max_outputs keeps exist) must be bit-equal to the full
+    fori walk — it is the RPN production path (rpn.py _select_single_level)."""
+    n = 3000
+    centers = rng.uniform(0, 500, (n // 8 + 1, 2))
+    idx = rng.randint(0, len(centers), n)
+    xy = centers[idx] + rng.uniform(-15, 15, (n, 2))
+    wh = rng.uniform(10, 150, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, (n,)).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.3
+
+    a_i, a_ok = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.7, max_out,
+                    jnp.asarray(valid), early_exit=False)
+    b_i, b_ok = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.7, max_out,
+                    jnp.asarray(valid), early_exit=True)
+    np.testing.assert_array_equal(np.asarray(a_ok), np.asarray(b_ok))
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))

@@ -88,7 +88,9 @@ def _select_single_level(
     proposals = clip_to_image(proposals, image_size)
     valid = nonempty_mask(proposals, min_size)
     keep_idx, keep_ok = nms(
-        proposals, top_scores, nms_thresh, post_nms_top_n, valid_mask=valid
+        proposals, top_scores, nms_thresh, post_nms_top_n, valid_mask=valid,
+        early_exit=True,  # 6000→1000 keeps: most images finish in 2-3 of
+                          # 12 block steps (exact — see _greedy_keep_sorted)
     )
     return Proposals(
         boxes=proposals[keep_idx],
