@@ -430,6 +430,44 @@ def randomize_bn_buffers(model, seed=7):
                 mod.bias.data.copy_(torch.randn(n, generator=g) * 0.2)
 
 
+def _tame_head_magnitudes(model, seed=13):
+    """Rescale the detection heads so an UNTRAINED cascade yields sane
+    logits.  The default-init ResNeXt amplifies the (realistically-scaled,
+    std~40) input to O(100+) features; linear heads on top saturate softmax
+    /sigmoid to exact 1.0 in f32, which ties every score — and greedy
+    NMS/top-k selection on fully-tied scores is ill-posed (torch's
+    unstable sort and the kthvalue tie-keeping cut diverge from ANY
+    static-shape implementation).  Shrinking the head weights (logits =
+    tiny*features + O(1) random bias) keeps every score distinct and the
+    feature path exercised while staying off the saturation plateau.
+    Runs BEFORE state_dict export, so the rebuild imports the same tamed
+    weights."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+
+    def tame(lin, wscale, bstd):
+        with torch.no_grad():
+            lin.weight.data.mul_(wscale)
+            lin.bias.data.copy_(
+                torch.randn(lin.bias.shape, generator=g) * bstd)
+
+    # Scale choice: the reference heads ALREADY init at std 0.01 (RPNHead /
+    # FPNPredictor), so the factors below are relative to that.  The scores
+    # must keep a healthy FEATURE-dependent spread — if the weight is
+    # over-shrunk, scores collapse to (per-channel bias ± epsilon) and the
+    # greedy NMS / top-k rank order becomes chaotic under the ~1e-4
+    # cross-implementation conv noise, which is exactly the ill-posedness
+    # this function exists to avoid (measured: x1e-2 here -> only 55% of
+    # RPN proposals match even from IDENTICAL input features).
+    rpn_head = model.rpn.head
+    tame(rpn_head.cls_logits, 0.1, 0.5)   # logits ~ +-3: spread, unsaturated
+    tame(rpn_head.bbox_pred, 0.01, 0.05)  # deltas ~ +-0.3: sane geometry
+    box_pred = model.roi_heads.box.predictor
+    tame(box_pred.cls_score, 3e-3, 1.0)
+    tame(box_pred.bbox_pred, 1e-3, 0.05)
+
+
 def build_reference_model(mode="predcls", seed=11):
     import torch
 
@@ -444,6 +482,7 @@ def build_reference_model(mode="predcls", seed=11):
     torch.manual_seed(seed)
     model = build_detection_model(cfg)
     randomize_bn_buffers(model, seed + 1)
+    _tame_head_magnitudes(model, seed + 2)
     model.eval()
     return model, cfg
 
@@ -499,6 +538,23 @@ def run_reference(mode="predcls", seed=11, input_seed=5, width=480,
         return hook
 
     model.backbone.register_forward_hook(tap("fpn"))
+    model.rpn.register_forward_hook(
+        tap("rpn_boxes", lambda out: [b.bbox for b in out[0]]
+            + [b.get_field("objectness") for b in out[0]
+               if b.has_field("objectness")]))
+    box_head = getattr(model.roi_heads, "box", None)
+    if box_head is not None and mode == "sgdet":
+        box_head.register_forward_hook(
+            tap("box_dets", lambda out: [
+                out[1][0].bbox,
+                out[1][0].get_field("pred_scores"),
+                out[1][0].get_field("pred_labels"),
+                out[1][0].get_field("boxes_per_cls"),
+                out[1][0].get_field("predict_logits"),
+            ]))
+        box_head.feature_extractor.register_forward_hook(tap("box_feats"))
+        box_head.predictor.register_forward_hook(
+            tap("box_logits", lambda out: [out[0], out[1]]))
     if getattr(model, "depth_backbone", None) is not None:
         model.depth_backbone.register_forward_hook(tap("depth_feat"))
     rel = getattr(model.roi_heads, "relation", None)
@@ -512,6 +568,28 @@ def run_reference(mode="predcls", seed=11, input_seed=5, width=480,
     with torch.no_grad():
         (result,) = model(images, targets=[target],
                           depth_images=depth_images)
+
+    # per-level RPN internals for the parity bisect: re-run the RPN
+    # components manually on the tapped backbone features
+    if mode == "sgdet":
+        with torch.no_grad():
+            feats = model.backbone(images.tensors)
+            objn, regm = model.rpn.head(feats)
+            anchors_all = model.rpn.anchor_generator(images, feats)
+            inter["rpn_obj_maps"] = [o.detach().numpy() for o in objn]
+            inter["rpn_reg_maps"] = [r.detach().numpy() for r in regm]
+            inter["rpn_anchors"] = [a.bbox.detach().numpy()
+                                    for a in anchors_all[0]]
+            sel = model.rpn.box_selector_test
+            lvl_boxes, lvl_scores = [], []
+            for a, o, r in zip(anchors_all[0], objn, regm):
+                bl = sel.forward_for_single_feature_map([a], o, r)[0]
+                lvl_boxes.append(bl.bbox.detach().numpy())
+                lvl_scores.append(
+                    bl.get_field("objectness").detach().numpy())
+            inter["rpn_level_boxes"] = lvl_boxes
+            inter["rpn_level_scores"] = lvl_scores
+
     fields = {
         "boxes": result.bbox.numpy(),
         "size": np.asarray(result.size),

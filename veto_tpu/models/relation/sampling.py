@@ -290,11 +290,17 @@ def prepare_test_pairs(
         iou = box_iou(boxes, boxes).reshape(-1)
         valid = valid & (iou > 0)
     quality = jnp.where(valid, scores[ii] * scores[jj], -jnp.inf)
-    # stable preference for row-major order among ties (reference nonzero order)
-    quality = quality - jnp.arange(n * n, dtype=jnp.float32) * 1e-9
-    top_q, top_i = jax.lax.top_k(quality, min(max_pairs, n * n))
-    mask = top_q > -jnp.inf
-    pair_idx = jnp.stack([ii[top_i], jj[top_i]], axis=-1)
+    # stable sort on the negated quality: exact ranking by score product
+    # with row-major order among EXACT ties (reference nonzero order).
+    # NOT a perturbation tie-break — an additive epsilon comparable to the
+    # f32 product gaps (~1e-7 at sgdet score scales) corrupts genuine
+    # rankings, which the whole-model sgdet parity ladder caught.
+    k = min(max_pairs, n * n)
+    sneg, si, sj = jax.lax.sort(
+        (-quality, ii.astype(jnp.int32), jj.astype(jnp.int32)),
+        num_keys=1, is_stable=True)
+    mask = sneg[:k] < jnp.inf
+    pair_idx = jnp.stack([si[:k], sj[:k]], axis=-1)
     pair_idx = jnp.where(mask[:, None], pair_idx, 0)
     if max_pairs > n * n:  # pad out to the static budget
         pad = max_pairs - n * n

@@ -148,7 +148,20 @@ def detector_param_updates(sd: Dict[str, np.ndarray]) -> Dict[Tuple[str, ...], n
     ):
         wk = f"{src}.weight"
         if wk in sd:
-            put(dst + ("kernel",), _fc(sd[wk]))
+            w = sd[wk]
+            if dst[-1] == "fc6":
+                # fc6 eats the FLATTENED pooled map: the reference flattens
+                # NCHW (C, P, P) while the rebuild pools NHWC and flattens
+                # (P, P, C) — permute fc6's input axis accordingly
+                # (FPN2MLPFeatureExtractor roi_box_feature_extractors.py:46
+                # `x.view(x.size(0), -1)` on an NCHW pooler output).
+                c = 256  # FPN channel count feeding the box pooler
+                p = int(round((max(w.shape[1] // c, 1)) ** 0.5))
+                if p * p * c == w.shape[1]:
+                    w = (w.reshape(w.shape[0], c, p, p)
+                         .transpose(0, 2, 3, 1)
+                         .reshape(w.shape[0], -1))
+            put(dst + ("kernel",), _fc(w))
             put(dst + ("bias",), sd[f"{src}.bias"])
 
     return out
