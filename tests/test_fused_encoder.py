@@ -127,6 +127,34 @@ def test_split_backward_matches_recompute():
                                    err_msg=name)
 
 
+def test_split_backward_dw_scratch_bit_identical():
+    """The FUSED_DW_SCRATCH experiment (VMEM-scratch dW accumulation with a
+    single final flush) must be BIT-identical to the default += -on-output
+    split backward: same adds in the same order, only the buffer differs."""
+    P, T, TP, D, F, H = 16, 19, 24, 96, 192, 6
+    rng = np.random.RandomState(7)
+    params = _params(rng, D, F)
+    x = jnp.asarray(rng.randn(P * TP, D).astype(np.float32))
+
+    def f(x, p):
+        out = fe.fused_encoder_layer(x, p, H, TP, T, 4, None, None, True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    old_split, old_scratch = fe.FUSED_SPLIT, fe.FUSED_DW_SCRATCH
+    try:
+        fe.FUSED_SPLIT = True
+        fe.FUSED_DW_SCRATCH = False
+        ga = jax.grad(f, argnums=(0, 1))(x, params)
+        fe.FUSED_DW_SCRATCH = True
+        gb = jax.grad(f, argnums=(0, 1))(x, params)
+    finally:
+        fe.FUSED_SPLIT, fe.FUSED_DW_SCRATCH = old_split, old_scratch
+    assert np.array_equal(np.asarray(ga[0]), np.asarray(gb[0]))
+    for name in params._fields:
+        a, b = np.asarray(getattr(ga[1], name)), np.asarray(getattr(gb[1], name))
+        assert np.array_equal(a, b), name
+
+
 def test_pair_attention_matches_reference():
     P, T, D, H = 16, 19, 96, 6
     rng = np.random.RandomState(1)

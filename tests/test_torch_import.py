@@ -166,10 +166,12 @@ def test_full_state_dict_import(tmp_path):
                 sd[f"{pre}.downsample.1.{f}"] = rng.rand(n).astype(np.float32) + 0.5
     for i in range(1, 5):
         for kind in ("inner", "layer"):
+            # reference FPN convs are 1-indexed like ours (fpn.py,
+            # verified end-to-end by test_whole_model_parity)
             k = params["backbone"]["fpn"][f"fpn_{kind}{i}"]
-            sd[f"backbone.fpn.fpn_{kind}{i + 1}.weight"] = rng.randn(
+            sd[f"backbone.fpn.fpn_{kind}{i}.weight"] = rng.randn(
                 *t_conv(k["kernel"]).shape).astype(np.float32)
-            sd[f"backbone.fpn.fpn_{kind}{i + 1}.bias"] = rng.randn(
+            sd[f"backbone.fpn.fpn_{kind}{i}.bias"] = rng.randn(
                 *k["bias"].shape).astype(np.float32)
     for name in ("conv", "cls_logits", "bbox_pred"):
         k = params["rpn"][name]

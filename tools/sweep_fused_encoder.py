@@ -36,7 +36,11 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--split", action="store_true",
                     help="sweep the two-pass split backward's block sizes")
+    ap.add_argument("--dw-scratch", action="store_true",
+                    help="with --split: accumulate dW in explicit VMEM "
+                         "scratch, single final flush (VERDICT r4 #7)")
     args = ap.parse_args()
+    fe.FUSED_DW_SCRATCH = args.dw_scratch
 
     t_pad = -(-args.t // 4) * 4
     d, f = args.d, 2 * args.d

@@ -60,6 +60,12 @@ class RPNHead(nn.Module):
         return tuple(logits), tuple(bbox)
 
 
+# Batch the per-level NMS walks into one vmapped walk (True) or run them
+# sequentially per level (False).  Same selection either way; flipped by
+# the A/B in tools/ — see BASELINE.md round-5 notes for the measurement.
+RPN_BATCH_LEVELS = True
+
+
 class Proposals(NamedTuple):
     boxes: jnp.ndarray       # (P, 4) xyxy, clipped to image
     objectness: jnp.ndarray  # (P,) sigmoid scores, sorted desc
@@ -76,7 +82,11 @@ def _select_single_level(
     nms_thresh: float,
     min_size: float,
 ) -> Proposals:
-    """forward_for_single_feature_map (rpn/inference.py:78-125), one image."""
+    """forward_for_single_feature_map (rpn/inference.py:78-125), one image.
+
+    Semantics reference for one level; the production path
+    (`rpn_select_proposals`) computes the identical selection with all
+    levels' NMS walks batched into one."""
     n = objectness.shape[0]
     k = min(pre_nms_top_n, n)
     scores = jax.nn.sigmoid(objectness.astype(jnp.float32))
@@ -117,18 +127,65 @@ def rpn_select_proposals(
     (select_over_all_levels :156-183, per-image branch).
 
     vmap over the batch at the call site (anchors are shared constants).
-    """
-    per_level = [
-        _select_single_level(
-            o, b, a, image_size, pre_nms_top_n, post_nms_top_n, nms_thresh,
-            min_size,
-        )
-        for o, b, a in zip(objectness, box_regression, anchors)
-    ]
-    boxes = jnp.concatenate([p.boxes for p in per_level])
-    scores = jnp.concatenate([p.objectness for p in per_level])
-    mask = jnp.concatenate([p.mask for p in per_level])
 
+    The per-level NMS walks are BATCHED: every level pads its pre-NMS
+    candidates to the largest level's budget and one vmapped blockwise
+    walk serves all levels, so the sequential block-step count is the
+    max over levels instead of the sum — the walks dominated the
+    cascade's rpn_propose stage (5 sequential walks → 1).
+    """
+    if not RPN_BATCH_LEVELS:
+        per_level = [
+            _select_single_level(
+                o, b, a, image_size, pre_nms_top_n, post_nms_top_n,
+                nms_thresh, min_size,
+            )
+            for o, b, a in zip(objectness, box_regression, anchors)
+        ]
+        boxes = jnp.concatenate([p.boxes for p in per_level])
+        scores = jnp.concatenate([p.objectness for p in per_level])
+        mask = jnp.concatenate([p.mask for p in per_level])
+        return _final_topk(boxes, scores, mask, fpn_post_nms_top_n)
+
+    kmax = max(min(pre_nms_top_n, o.shape[0]) for o in objectness)
+    boxes_l, scores_l, valid_l = [], [], []
+    for o, b, a in zip(objectness, box_regression, anchors):
+        n = o.shape[0]
+        k = min(pre_nms_top_n, n)
+        scores = jax.nn.sigmoid(o.astype(jnp.float32))
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        props = decode_boxes(
+            b[top_idx].astype(jnp.float32), a[top_idx],
+            weights=(1.0, 1.0, 1.0, 1.0),
+        )
+        props = clip_to_image(props, image_size)
+        valid = nonempty_mask(props, min_size)
+        pad = kmax - k
+        if pad:
+            props = jnp.pad(props, ((0, pad), (0, 0)))
+            top_scores = jnp.pad(top_scores, (0, pad), constant_values=-1.0)
+            valid = jnp.pad(valid, (0, pad))
+        boxes_l.append(props)
+        scores_l.append(top_scores)
+        valid_l.append(valid)
+    boxes_l = jnp.stack(boxes_l)
+    scores_l = jnp.stack(scores_l)
+    valid_l = jnp.stack(valid_l)
+    idx_l, ok_l = jax.vmap(
+        lambda bx, sc, va: nms(bx, sc, nms_thresh, post_nms_top_n,
+                               valid_mask=va, early_exit=True)
+    )(boxes_l, scores_l, valid_l)
+    boxes = jnp.take_along_axis(boxes_l, idx_l[..., None], axis=1
+                                ).reshape(-1, 4)
+    scores = jnp.where(
+        ok_l, jnp.take_along_axis(scores_l, idx_l, axis=1), 0.0
+    ).reshape(-1)
+    mask = ok_l.reshape(-1)
+    return _final_topk(boxes, scores, mask, fpn_post_nms_top_n)
+
+
+def _final_topk(boxes, scores, mask, fpn_post_nms_top_n):
+    """select_over_all_levels (:156-183), per-image branch."""
     k = min(fpn_post_nms_top_n, boxes.shape[0])
     masked = jnp.where(mask, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(masked, k)

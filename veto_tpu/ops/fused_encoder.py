@@ -200,8 +200,26 @@ FUSED_SPLIT = True
 # stash/block8/bwd4 = 242.9 ms for the 6-layer stack fwd+bwd (1.41x).
 # Grid: 8/8 235.5, 8/16 181.1, 16/8 184.4, 16/16 172.9; 32-pair blocks
 # overflow scoped VMEM in either pass.
-FUSED_FFN_BWD_BLOCK = 16
-FUSED_ATT_BWD_BLOCK = 16
+FUSED_FFN_BWD_BLOCK = 4
+FUSED_ATT_BWD_BLOCK = 8
+# ^ round-5 revision: BOTH 16-pair passes sit ON the remote compiler's
+# 16M scoped-VMEM limit (17.8M / 17.2M requests) — identical kernel
+# shapes compiled inside one train step and OOMed inside another (the
+# limit's headroom varies with the surrounding fusion), so 16-pair
+# blocks are not compile-robust.  Same-day round-5 sweep over the
+# compile-safe grid: 4/8 = 197.0 ms, 8/4 = 201.9, 8/8 = 214.0 (6-layer
+# stack fwd+bwd, 8192 pairs) → 4/8.  Round-4's recorded 172.8 ms for
+# 16/16 was already non-reproducible across sessions; see BASELINE.md
+# round-5 notes.
+# round-5 experiment (VERDICT r4 #7): accumulate the split passes' dW /
+# vector grads in explicit VMEM scratch and copy to the outputs once on
+# the final grid step, instead of the += read-modify-write on the output
+# refs each step.  Outputs with a constant index_map already stay
+# VMEM-resident across the grid on TPU, so this isolates whether the
+# per-step accumulate costs anything beyond the adds themselves.
+# Measured (tools/sweep_fused_encoder.py --split --dw-scratch, 8192 pairs,
+# 6 layers, fwd+bwd, same-harness): see BASELINE.md round-5 section.
+FUSED_DW_SCRATCH = False
 
 
 def _sub_rows(blk, t_pad, attn_sub):
@@ -449,6 +467,34 @@ def _bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, bout, ln2s, ln2b, w1, b1,
         dwout_ref[:] += dwout
 
 
+def _accumulate(acc_refs, values, out_refs=None):
+    """Grid-step accumulation of weight/vector grads.
+
+    ``acc_refs`` receive ``values`` on step 0 and ``+=`` afterwards.  When
+    ``out_refs`` is given (the FUSED_DW_SCRATCH experiment), ``acc_refs``
+    are VMEM scratch and the final grid step copies them to the real
+    outputs — isolating whether the per-step += on output refs costs
+    anything beyond the adds (constant-index outputs already stay
+    VMEM-resident across the grid on TPU).
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r, v in zip(acc_refs, values):
+            r[:] = v
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        for r, v in zip(acc_refs, values):
+            r[:] += v
+
+    if out_refs is not None:
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _flush():
+            for o, r in zip(out_refs, acc_refs):
+                o[:] = r[:]
+
+
 def _ln_bwd(dout, c, inv, scale):
     """LayerNorm backward wrt input (f32). c = x - mean, inv = rsqrt(var)."""
     n = c.shape[-1]
@@ -462,7 +508,7 @@ def _ln_bwd(dout, c, inv, scale):
 
 
 def _ffn_bwd_kernel(x1_ref, ln2s, ln2b, w1, b1, w2, dy_ref,
-                    dx1_ref, dw1_ref, dw2_ref, vd_ref, vf_ref):
+                    dx1_ref, dw1_ref, dw2_ref, vd_ref, vf_ref, *scratch):
     """Split-backward pass A: FFN sub-block ``y = x1 + W2 gelu(W1 LN2(x1))``.
 
     Emits dx1 (f32 — the exact value the monolithic kernel carried
@@ -509,24 +555,14 @@ def _ffn_bwd_kernel(x1_ref, ln2s, ln2b, w1, b1, w2, dy_ref,
     ])
     vf = df1.sum(0).reshape(1, -1)  # d b1
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dw1_ref[:] = dw1
-        dw2_ref[:] = dw2
-        vd_ref[:] = vd
-        vf_ref[:] = vf
-
-    @pl.when(pl.program_id(0) != 0)
-    def _acc():
-        dw1_ref[:] += dw1
-        dw2_ref[:] += dw2
-        vd_ref[:] += vd
-        vf_ref[:] += vf
+    _accumulate(scratch or (dw1_ref, dw2_ref, vd_ref, vf_ref),
+                (dw1, dw2, vd, vf),
+                (dw1_ref, dw2_ref, vd_ref, vf_ref) if scratch else None)
 
 
 def _att_bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, qkv_ref, dx1_ref,
-                    dx_ref, dwqkv_ref, dwout_ref, vd_ref,
-                    *, heads, t_pad, t_valid, sub_rows=None):
+                    dx_ref, dwqkv_ref, dwout_ref, vd_ref, *scratch,
+                    heads, t_pad, t_valid, sub_rows=None):
     """Split-backward pass B: attention sub-block ``x1 = x + Wout MHA(LN1 x)``.
 
     Consumes pass A's f32 dx1, recomputes the attention probabilities from
@@ -619,17 +655,9 @@ def _att_bwd_kernel(x_ref, ln1s, ln1b, wqkv, wout, qkv_ref, dx1_ref,
         dh1.sum(0),            # d ln1_bias
     ])
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dwqkv_ref[:] = dwqkv
-        dwout_ref[:] = dwout
-        vd_ref[:] = vd
-
-    @pl.when(pl.program_id(0) != 0)
-    def _acc():
-        dwqkv_ref[:] += dwqkv
-        dwout_ref[:] += dwout
-        vd_ref[:] += vd
+    _accumulate(scratch or (dwqkv_ref, dwout_ref, vd_ref),
+                (dwqkv, dwout, vd),
+                (dwqkv_ref, dwout_ref, vd_ref) if scratch else None)
 
 
 def _bwd_split(heads, t_pad, t_valid, attn_sub, res, dy):
@@ -639,11 +667,17 @@ def _bwd_split(heads, t_pad, t_valid, attn_sub, res, dy):
     f = params.w1.shape[1]
     dtype = x.dtype
 
+    def _scratch(shapes):
+        if not FUSED_DW_SCRATCH:
+            return []
+        return [pltpu.VMEM(s, jnp.float32) for s in shapes]
+
     blk_a = FUSED_FFN_BWD_BLOCK * t_pad
     while rows_total % blk_a:
         blk_a //= 2
     dx1, d_w1, d_w2, vda, vfa = pl.pallas_call(
         _ffn_bwd_kernel,
+        scratch_shapes=_scratch([(d, f), (f, d), (4, d), (1, f)]),
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, d), jnp.float32),  # dx1
             jax.ShapeDtypeStruct((d, f), jnp.float32),           # dW1
@@ -675,6 +709,7 @@ def _bwd_split(heads, t_pad, t_valid, attn_sub, res, dy):
         functools.partial(_att_bwd_kernel, heads=heads, t_pad=t_pad,
                           t_valid=t_valid,
                           sub_rows=_sub_rows(blk_b, t_pad, attn_sub)),
+        scratch_shapes=_scratch([(d, 3 * d), (d, d), (2, d)]),
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, d), dtype),        # dx
             jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),       # dWqkv
